@@ -1,0 +1,65 @@
+"""Pipeline configuration.
+
+Defaults mirror the reference CLI defaults so that golden tests can pin
+parity: k=16 (/root/reference/src/rkmh.cpp:728-731), sketch_size=1000
+(/root/reference/src/rkmh.cpp:722-726), murmur3_x64_128 seed 42
+(/root/reference/src/rkmh.cpp:493-497).
+
+For web text, reverse-complement canonicalization is meaningless, so
+``canonical`` is pinned False (the one deliberate config delta vs the
+reference; see SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- sketching (reference parity knobs) ---
+    k: int = 16                 # shingle size in BYTES of utf-8 text
+    sketch_size: int = 1000     # bottom-s sketch size ("-s" in rkmh)
+    hash_seed: int = 42         # murmur3 seed (src/rkmh.cpp:493-497)
+    canonical: bool = False     # fwd-hash only for text (delta vs reference)
+
+    # --- frequency filters (rkmh -I / -M analogs) ---
+    max_doc_freq: int | None = None   # drop shingles present in > this many docs (A2/F5)
+    min_occ: int | None = None        # keep hash iff global count >= this (F4)
+
+    # --- LSH banding ---
+    num_bands: int = 250        # b
+    band_rows: int = 4          # r ; b*r <= sketch_size
+    bucket_cap: int = 200       # census cap before salting a hot bucket
+
+    # --- verification ---
+    jaccard_threshold: float = 0.8   # est-Jaccard = shared / sketch_size >= tau
+    min_matches: int = 1             # F2: best shared < N → FAIL:MATCHES
+    min_diff: int = 0                # F3: best-second <= D → ambiguous
+
+    # --- clustering ---
+    max_cc_iterations: int = 20
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    arrow_batch_size: int = 2048
+
+    def banded(self) -> "DedupConfig":
+        """Validate that bands fit in the sketch."""
+        if self.num_bands * self.band_rows > self.sketch_size:
+            raise ValueError(
+                f"num_bands*band_rows={self.num_bands * self.band_rows} exceeds "
+                f"sketch_size={self.sketch_size}"
+            )
+        return self
+
+
+# A small config used across unit tests/fixtures: documents in the synthetic
+# corpora are short (~128 chars), so a small k and s keep sketches meaningful.
+TEST_CONFIG = DedupConfig(
+    k=8,
+    sketch_size=64,
+    num_bands=16,
+    band_rows=4,
+    jaccard_threshold=0.5,
+)
