@@ -27,9 +27,9 @@ class DedupConfig:
     max_doc_freq: int | None = None   # drop shingles present in > this many docs (A2/F5)
     min_occ: int | None = None        # keep hash iff global count >= this (F4)
 
-    # --- LSH banding ---
-    num_bands: int = 250        # b
-    band_rows: int = 4          # r ; b*r <= sketch_size
+    # --- LSH banding (over K = num_bands*band_rows independent minhashes) ---
+    num_bands: int = 32         # b ; capture prob = 1-(1-j^r)^b
+    band_rows: int = 4          # r ; K=128: capture ≥ 0.999 for j ≥ 0.55
     bucket_cap: int = 200       # census cap before salting a hot bucket
 
     # --- verification ---
@@ -44,22 +44,23 @@ class DedupConfig:
     shuffle_partitions: int = 32
     arrow_batch_size: int = 2048
 
-    def banded(self) -> "DedupConfig":
-        """Validate that bands fit in the sketch."""
-        if self.num_bands * self.band_rows > self.sketch_size:
-            raise ValueError(
-                f"num_bands*band_rows={self.num_bands * self.band_rows} exceeds "
-                f"sketch_size={self.sketch_size}"
-            )
-        return self
+    @property
+    def num_perms(self) -> int:
+        """K — width of the independent-minhash vector used for banding."""
+        return self.num_bands * self.band_rows
+
+    def lsh_capture_probability(self, jaccard: float) -> float:
+        """P(candidate) for a pair at the given true Jaccard: 1-(1-j^r)^b."""
+        return 1.0 - (1.0 - jaccard**self.band_rows) ** self.num_bands
 
 
 # A small config used across unit tests/fixtures: documents in the synthetic
 # corpora are short (~128 chars), so a small k and s keep sketches meaningful.
+# b=32, r=2 → capture at j=0.5 is 1-(1-0.25)^32 ≈ 0.9999.
 TEST_CONFIG = DedupConfig(
     k=8,
     sketch_size=64,
-    num_bands=16,
-    band_rows=4,
+    num_bands=32,
+    band_rows=2,
     jaccard_threshold=0.5,
 )

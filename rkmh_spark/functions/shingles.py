@@ -61,6 +61,88 @@ def sketch_text(text: str, k: int, s: int, seed: int = 42) -> np.ndarray:
     return bottom_s_sketch(shingle_hashes(text, k, seed), s).view(np.int64)
 
 
+def sketch_texts_batch(
+    texts,
+    k: int,
+    s: int,
+    seed: int = 42,
+    drop_hashes: np.ndarray | None = None,
+    perm_params: tuple[np.ndarray, np.ndarray] | None = None,
+):
+    """Sketch a whole Arrow batch of texts with ONE murmur pass.
+
+    Stacks every document's shingle matrix into a single (total_shingles, k)
+    uint8 matrix, hashes it in one vectorized call (this is the hot kernel —
+    the analog of the reference's OpenMP hashing loop at
+    /root/reference/src/rkmh.cpp:845-860), then takes per-document bottom-s.
+
+    ``drop_hashes``: optional sorted uint64 array of banned hashes (the
+    hot-shingle / max-doc-freq filter, rkmh ``-I``
+    /root/reference/src/rkmh.cpp:835-836) removed BEFORE bottom-s selection,
+    matching minhashes_frequency_filter semantics.
+
+    ``perm_params``: optional (a, b) from minhash_permutation_params; when
+    given, also returns per-doc K-wide independent minhash vectors for LSH
+    banding (computed from the SAME murmur pass).
+
+    Returns (sketches: list[int64 array], minhashes: list[int64]|None,
+    n_shingles: int64 array).
+    """
+    mats = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        m = shingle_matrix(t if t is not None else "", k)
+        counts[i] = m.shape[0]
+        if m.shape[0]:
+            mats.append(m)
+    empty = np.empty(0, dtype=np.int64)
+    if not mats:
+        mh = [empty] * len(texts) if perm_params is not None else None
+        return [empty] * len(texts), mh, counts
+    all_hashes = murmur3_x64_128_low64(np.vstack(mats), seed=seed)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    sketches = []
+    minhashes = [] if perm_params is not None else None
+    for i in range(len(texts)):
+        h = all_hashes[offsets[i] : offsets[i + 1]]
+        if drop_hashes is not None and drop_hashes.size and h.size:
+            h = h[~np.isin(h, drop_hashes)]
+        sketches.append(bottom_s_sketch(h, s).view(np.int64))
+        if minhashes is not None:
+            minhashes.append(minhash_vector(h, *perm_params))
+    return sketches, minhashes, counts
+
+
+def minhash_permutation_params(num_perms: int, seed: int = 42):
+    """Deterministic (a, b) coefficients for K bijective u64 mixers.
+
+    π_i(x) = a_i * x + b_i (mod 2^64) with a_i odd is a bijection of u64
+    space, so min over a document's shingle-hash set is a classic MinHash
+    value. The bottom-s sketch (reference parity) is NOT suitable for
+    banding — a single differing small hash shifts every later sketch
+    position, so band collision probability collapses; K independent
+    minima restore the standard 1-(1-j^r)^b capture curve.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_perms, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+def minhash_vector(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(K,) int64 minhash vector of one document's shingle hashes.
+
+    Empty input → empty vector (the doc can never collide in any band —
+    the LSH analog of the reference depth filter F1).
+    """
+    h = hashes[hashes != 0]
+    if h.size == 0:
+        return np.empty(0, dtype=np.int64)
+    # (n, K) mixed matrix; min along shingles. uint64 wraparound intended.
+    mixed = h[:, None] * a[None, :] + b[None, :]
+    return mixed.min(axis=0).view(np.int64)
+
+
 def multiset_intersection_size(a: np.ndarray, b: np.ndarray) -> int:
     """|a ∩ b| with multiplicity — rkmh hash_intersection_size parity.
 

@@ -1,0 +1,74 @@
+"""Stage 4 — iterative hash-join connected components (SURVEY.md §7.2 M4).
+
+The reference has nothing like this (its classification is per-read argmax);
+clustering near-dup pages needs transitive closure over verified edges.
+Catalyst has no recursion, so this is the one custom driver-side loop in
+the engine (SURVEY.md §4 "Absent: iterative connected components").
+
+Algorithm: hash-min label propagation. Every node starts labeled with
+itself; each round, a node takes the min label among itself and its
+neighbors (one equi-join + one groupBy-min per round). Converges in
+O(diameter) rounds — near-dup clusters are low-diameter (a page links to
+its mutations through the original), so this beats alternating-star
+constant factors in practice while staying two shuffles per round.
+
+Scale hygiene:
+- ``localCheckpoint`` each round truncates the lineage so plans don't grow
+  (replaced by a durable checkpoint table in the resumable pipeline,
+  rkmh_spark.plans.checkpoint).
+- Convergence test = count of changed labels via self-join on the (small)
+  label relation; rounds are capped by cfg.max_cc_iterations.
+- Deterministic ids: label = lexicographic min url of the component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    src_col: str = "url_a",
+    dst_col: str = "url_b",
+) -> DataFrame:
+    """edges(url_a, url_b) → labels(node, label); label = min url in component.
+
+    Only nodes that appear in an edge are returned; isolated nodes are the
+    caller's coalesce (their label is themselves).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col), F.col(src_col)))
+    sym = sym.persist()
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        nbr_labels = sym.join(
+            labels, sym["dst"] == labels["node"], "inner"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels

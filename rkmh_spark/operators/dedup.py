@@ -1,0 +1,62 @@
+"""End-to-end near-duplicate detection pipeline (the flagship dataflow).
+
+pages → signatures → [doc-freq hot-shingle filter] → LSH candidates →
+exact verification → connected components → assignments(url, cluster_id).
+
+Mirrors rkmh stream/classify's lifecycle (/root/reference/src/rkmh.cpp:584-948)
+with the all-pairs comparison replaced by LSH (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from rkmh_spark.config import DedupConfig
+from rkmh_spark.operators.components import connected_components
+from rkmh_spark.operators.docfreq import hot_shingles, shingle_doc_frequency
+from rkmh_spark.operators.lsh import band_buckets, candidate_pairs
+from rkmh_spark.operators.signatures import compute_signatures
+from rkmh_spark.operators.verify import brute_force_pairs, verify_pairs
+
+
+@dataclass
+class DedupResult:
+    signatures: DataFrame
+    pairs: DataFrame          # verified dup pairs (url_a, url_b, shared, est_jaccard)
+    assignments: DataFrame    # (url, cluster_id)
+
+
+def dedup_pages(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    use_lsh: bool = True,
+) -> DedupResult:
+    """Run the full dedup pipeline; ``use_lsh=False`` = exhaustive verify
+    (the reference's own mechanism, for fixtures/recall oracles)."""
+    drop = None
+    if cfg.max_doc_freq is not None:
+        dfreq = shingle_doc_frequency(pages, cfg)
+        drop = hot_shingles(dfreq, cfg.max_doc_freq)
+
+    sigs = compute_signatures(pages, cfg, drop_hashes=drop).persist()
+
+    if use_lsh:
+        buckets = band_buckets(sigs, cfg)
+        cands = candidate_pairs(buckets, cfg)
+        pairs = verify_pairs(cands, sigs, cfg)
+    else:
+        pairs = brute_force_pairs(sigs, cfg)
+    pairs = pairs.persist()
+
+    labels = connected_components(
+        pairs.select("url_a", "url_b"), cfg.max_cc_iterations
+    )
+    assignments = (
+        pages.select("url")
+        .join(labels.withColumnRenamed("node", "url"), "url", "left")
+        .select("url", F.coalesce("label", "url").alias("cluster_id"))
+    )
+    return DedupResult(signatures=sigs, pairs=pairs, assignments=assignments)

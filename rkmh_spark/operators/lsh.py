@@ -1,0 +1,104 @@
+"""Stage 2 — LSH banding + candidate pair generation (SURVEY.md §7.2 M2).
+
+The reference compares every read against every reference sketch with a
+broadcast nested-loop theta-join (/root/reference/src/rkmh.cpp:867-870).
+That is O(n²) and cannot survive web scale, so this is the one place the
+Spark design intentionally diverges in MECHANISM (not result, SURVEY.md
+§2.4): signatures are banded (b bands × r rows), equal bands collide in a
+bucket, and only intra-bucket pairs go to exact verification. At equal
+config the verified pairs must reproduce the reference's exhaustive
+acceptance with recall ≥ 0.99.
+
+Skew ("salted explode-groupBy", north_rule): Zipfian shingles make hot
+buckets whose naive self-join is O(sz²) in ONE task. Defenses, in order:
+1. the doc-frequency hot-shingle filter upstream (the reference's own
+   answer, ``-I`` /root/reference/src/rkmh.cpp:835-836);
+2. a bucket-size census; buckets over ``bucket_cap`` get a deterministic
+   salt shard per member and pair generation runs as a sharded triangle
+   join — the same pair set, spread over ~(sz/cap)² tasks;
+3. AQE skew-join splitting for residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rkmh_spark.config import DedupConfig
+
+_BUCKET_KEY = ["band_id", "band_hash"]
+
+
+def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """signatures → (url, band_id, band_hash).
+
+    Band i = minhash[i*r : (i+1)*r] over the K independent minhash values;
+    64-bit xxhash of the row values (32-bit F.hash would collide
+    catastrophically at 10^12 docs × b bands). Documents with no shingles
+    have an empty minhash vector and produce no bands — the LSH analog of
+    the depth filter F1.
+    """
+    b, r = cfg.num_bands, cfg.band_rows
+    bands = F.array(*[F.slice("minhash", i * r + 1, r) for i in range(b)])
+    return (
+        signatures.select("url", F.posexplode(bands).alias("band_id", "band"))
+        .where(F.size("band") == r)
+        .select("url", "band_id", F.xxhash64("band").alias("band_hash"))
+    )
+
+
+def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """buckets → distinct (url_a, url_b) with url_a < url_b.
+
+    Census first: size-1 buckets are pruned before any join (most buckets,
+    at web scale); 2..cap buckets take the plain self-equi-join; > cap
+    buckets take the salted triangle join.
+    """
+    census = buckets.groupBy(*_BUCKET_KEY).agg(F.count("*").alias("sz"))
+    sized = buckets.join(census.where(F.col("sz") >= 2), _BUCKET_KEY)
+
+    normal = sized.where(F.col("sz") <= cfg.bucket_cap).drop("sz")
+    a, b = normal.alias("a"), normal.alias("b")
+    normal_pairs = (
+        a.join(b, _BUCKET_KEY)
+        .where(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+    )
+
+    hot = sized.where(F.col("sz") > cfg.bucket_cap)
+    hot_pairs = _salted_triangle_pairs(hot, cfg.bucket_cap)
+
+    return normal_pairs.unionByName(hot_pairs).distinct()
+
+
+def _salted_triangle_pairs(hot: DataFrame, cap: int) -> DataFrame:
+    """Cover all intra-bucket pairs of hot buckets without one giant task.
+
+    Each member gets shard = xxhash64(url) mod m (m = ceil(sz/cap),
+    deterministic, no window). For every unordered shard pair (i ≤ j),
+    members of shard i meet members of shard j: the left relation
+    replicates each member to keys (i=shard, j ∈ [shard, m)), the right to
+    keys (i ∈ [0, shard], j=shard); the equi-join on (bucket, i, j) then
+    emits each member pair exactly once per bucket.
+    """
+    hot = hot.withColumn(
+        "m", F.ceil(F.col("sz") / F.lit(cap)).cast("long")
+    ).withColumn("shard", F.pmod(F.xxhash64("url"), F.col("m")))
+
+    left = hot.select(
+        *_BUCKET_KEY,
+        F.col("url"),
+        F.col("shard").alias("i"),
+        F.explode(F.sequence(F.col("shard"), F.col("m") - 1)).alias("j"),
+    )
+    right = hot.select(
+        *_BUCKET_KEY,
+        F.col("url"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("shard"))).alias("i"),
+        F.col("shard").alias("j"),
+    )
+    return (
+        left.alias("a")
+        .join(right.alias("b"), _BUCKET_KEY + ["i", "j"])
+        .where(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+    )
