@@ -1,38 +1,532 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship near-dup clustering on sf0.001 documents.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 mapping in
+each docstring); every SQL-expressible one has a DuckDB oracle in
+``oracle_sql()`` with identical output column names. Hash/sketch kernels
+(murmur3/minhash/simhash/LSH) are not DuckDB-expressible → rows-only checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(col):
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Near-dup cluster assignments over sf0.001 documents (pages-shaped).
+
+    pages → signatures (mapInPandas murmur3/bottom-s/minhash) → LSH bands →
+    exact sketch-Jaccard verify → connected components.
+    """
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.operators.dedup import dedup_pages
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    pages = documents_as_pages(_docs(spark, SF0001))
+    return dedup_pages(pages, TEST_CONFIG).assignments
+
+
+# ---------------------------------------------------------------------------
+# queries — SQL-verifiable
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (training-pipeline op; S7 sink shape)."""
+    from rkmh_spark.operators.dedup_exact import exact_duplicate_groups
+
+    return exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+def q_token_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A6: global token document-frequency (explode+groupBy hash agg)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def q_hot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F5: hot-shingle (boilerplate) table — tokens in > 250 docs."""
+    return q_token_docfreq(spark, sf_dir).where(F.col("df") > 250)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 relational spelling: 3-gram Jaccard >= 0.5 doc pairs."""
+    from rkmh_spark.operators.dedup_exact import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hpv16-style discriminative-token classification → language ID."""
+    from rkmh_spark.functions.text import LANG_STOPWORDS
+
+    d = _docs(spark, sf_dir)
+    toks = F.array_distinct(_tokens(F.col("text")))
+    scored = d.select(
+        "doc_id",
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+            ).alias(f"s_{lang}")
+            for lang, ws in sorted(LANG_STOPWORDS.items())
+        ],
+    )
+    langs = sorted(LANG_STOPWORDS)
+    pred = F.lit(None).cast("string")
+    # lex-first argmax: first lang (in sorted order) whose score >= all others
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return scored.select("doc_id", expr.alias("pred_lang"))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 analog: per-doc quality features (length/token stats)."""
+    from rkmh_spark.functions.text import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_m", "n_tokens", "mean_token_len"
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"))
+
+
+def q_unique_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: multi-way set difference — tokens unique to exactly one lang
+    (discriminative-shingle table, rkmh.cpp:2558-2598) as ONE shuffle."""
+    d = _docs(spark, sf_dir)
+    tl = d.select(
+        "lang", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
+    ).distinct()
+    return (
+        tl.groupBy("token")
+        .agg(
+            F.count_distinct("lang").alias("n_langs"),
+            F.min("lang").alias("lang"),
+        )
+        .where(F.col("n_langs") == 1)
+        .select("token", "lang")
+    )
+
+
+def q_distinct_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 analog: merged per-group token 'sketch' cardinality."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("source", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
+        .groupBy("source")
+        .agg(F.count_distinct("tok").alias("n_distinct_tokens"))
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for query vectors vec_id < 20."""
+    from rkmh_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 20), k=3)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-aggregation battery (TPC-H Q1 shape): filter pushdown + hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-mechanism: broadcast dim join (lineitem ⋈ part) + agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4: windowed top-k (row_number over desc order, deterministic ties)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rk")
+    )
+
+
+def q_best_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/F3: per-user argmax with runner-up gap (classify min_diff)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    ranked = e.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 2)
+    best = ranked.where(F.col("rk") == 1).select(
+        "user_id", F.round("value", 6).alias("best_value")
+    )
+    second = ranked.where(F.col("rk") == 2).select(
+        "user_id", F.round("value", 6).alias("second_value")
+    )
+    return (
+        best.join(second, "user_id", "left")
+        .select(
+            "user_id",
+            "best_value",
+            "second_value",
+            F.round(F.col("best_value") - F.coalesce("second_value", F.lit(0.0)), 6).alias("gap"),
+        )
+    )
+
+
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: sliding-window aggregate (window_len=100, rkmh.cpp:1769-1791).
+
+    Rolling SUM (not avg): dividing by the window count lands on exact
+    decimal round-boundaries that Spark/DuckDB round apart; sums stay
+    >= 5e-7 from any 6-decimal boundary, so the cross-engine hash is stable.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-99, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("sum_100")
+    )
+
+
+def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: membership probe (left-semi) against a filtered dictionary."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") > 40).select("p_partkey")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_li"))
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 anti-join spelling."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+def q_event_type_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: per-class counts → proportions (score_real_classification.py)."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    return counts.select(
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — rows-only (hash kernels, not DuckDB-expressible)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/P5/A1: shingle→murmur3→bottom-s sketch stage (rows-only)."""
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.operators.signatures import compute_signatures
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    pages = documents_as_pages(_docs(spark, sf_dir))
+    sig = compute_signatures(pages, TEST_CONFIG)
+    return sig.select(
+        "url", F.size("sketch").alias("sketch_len"), "n_shingles"
+    )
+
+
+def q_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full LSH dedup pipeline → (url, cluster_id) (rows-only)."""
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.operators.dedup import dedup_pages
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    pages = documents_as_pages(_docs(spark, sf_dir))
+    return dedup_pages(pages, TEST_CONFIG).assignments
+
+
+def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates via 16-bit band collisions (rows-only)."""
+    from rkmh_spark.operators.dedup_exact import (
+        simhash_band_candidates,
+        simhash_signatures,
+    )
+
+    return simhash_band_candidates(simhash_signatures(_docs(spark, sf_dir)))
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k neighbors (rows-only)."""
+    from rkmh_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return lsh_topk(emb, k=3, dim=32, n_planes=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_groups": q_exact_dup_groups,
+        "token_docfreq": q_token_docfreq,
+        "hot_tokens": q_hot_tokens,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "lang_predict": q_lang_predict,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "unique_tokens_per_lang": q_unique_tokens_per_lang,
+        "distinct_tokens_per_source": q_distinct_tokens_per_source,
+        "embedding_topk": q_embedding_topk,
+        "pricing_summary": q_pricing_summary,
+        "brand_revenue": q_brand_revenue,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "best_event_gap": q_best_event_gap,
+        "rolling_avg": q_rolling_avg,
+        "semi_join_parts": q_semi_join_parts,
+        "customers_without_orders": q_customers_without_orders,
+        "event_type_prevalence": q_event_type_prevalence,
+        # rows-only (hash kernels):
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_assignments": q_dedup_assignments,
+        "simhash_bands": q_simhash_bands,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (identical output column names; omit non-SQL ops)
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = {
+        "de": "['der','die','und','das','ist']",
+        "en": "['the','and','of','to','in']",
+        "es": "['el','la','de','que','los']",
+        "fr": "['le','la','et','les','des']",
+        "it": "['il','la','che','di','non']",
+    }
+    langs = sorted(sw)
+    score_cols = ", ".join(
+        f"len(list_intersect(list_distinct({_TOKS}), {sw[l]})) AS s_{l}"
+        for l in langs
+    )
+    argmax = " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{l} >= s_{o}" for o in langs if o != l)
+        + f" THEN '{l}'"
+        for l in langs
+    )
+    return {
+        "exact_dup_groups": """
+            SELECT md5(text) AS text_md5, count(*) AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "token_docfreq": f"""
+            SELECT token, count(*) AS df FROM (
+                SELECT DISTINCT doc_id, unnest(list_distinct({_TOKS})) AS token
+                FROM documents
+            ) GROUP BY token
+        """,
+        "hot_tokens": f"""
+            SELECT token, count(*) AS df FROM (
+                SELECT DISTINCT doc_id, unnest(list_distinct({_TOKS})) AS token
+                FROM documents
+            ) GROUP BY token HAVING count(*) > 250
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS tk FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS ngram
+                FROM toks, unnest(generate_series(1, greatest(len(tk)-2, 0))) AS u(i)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                FROM grams a JOIN grams b USING (ngram)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b, shared,
+                   round(shared * 1.0 / (sa.n_grams + sb.n_grams - shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(shared * 1.0 / (sa.n_grams + sb.n_grams - shared), 6) >= 0.5
+        """,
+        "lang_predict": f"""
+            SELECT doc_id, CASE {argmax} END AS pred_lang
+            FROM (SELECT doc_id, {score_cols} FROM documents)
+        """,
+        "quality_scores": f"""
+            SELECT doc_id, length(text) AS n_chars_m,
+                   len({_TOKS}) AS n_tokens,
+                   round((length(text) - (len({_TOKS}) - 1))
+                         / greatest(len({_TOKS}), 1), 4) AS mean_token_len
+            FROM documents
+        """,
+        "token_counts": f"""
+            SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+        """,
+        "unique_tokens_per_lang": f"""
+            SELECT token, min(lang) AS lang FROM (
+                SELECT DISTINCT lang, unnest(list_distinct({_TOKS})) AS token
+                FROM documents
+            ) GROUP BY token HAVING count(DISTINCT lang) = 1
+        """,
+        "distinct_tokens_per_source": f"""
+            SELECT source, count(DISTINCT tok) AS n_distinct_tokens FROM (
+                SELECT source, unnest(list_distinct({_TOKS})) AS tok
+                FROM documents
+            ) GROUP BY source
+        """,
+        "embedding_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       round(list_dot_product(q.v, n.v)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+                FROM e q JOIN e n ON q.vec_id <> n.vec_id
+                WHERE q.vec_id < 20
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS rank FROM scored
+            ) WHERE rank <= 3
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey
+                ) AS rk FROM orders
+            ) WHERE rk <= 3
+        """,
+        "best_event_gap": """
+            WITH ranked AS (
+                SELECT user_id, value, row_number() OVER (
+                    PARTITION BY user_id ORDER BY value DESC, event_id
+                ) AS rk FROM events
+            ), best AS (
+                SELECT user_id, round(value, 6) AS best_value
+                FROM ranked WHERE rk = 1
+            ), second AS (
+                SELECT user_id, round(value, 6) AS second_value
+                FROM ranked WHERE rk = 2
+            )
+            SELECT b.user_id, best_value, second_value,
+                   round(best_value - coalesce(second_value, 0.0), 6) AS gap
+            FROM best b LEFT JOIN second s ON b.user_id = s.user_id
+        """,
+        "rolling_avg": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 99 PRECEDING AND CURRENT ROW
+                   ), 6) AS sum_100
+            FROM events
+        """,
+        "semi_join_parts": """
+            SELECT l_partkey, count(*) AS n_li FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+            GROUP BY l_partkey
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "event_type_prevalence": """
+            SELECT event_type, n, round(n * 1.0 / sum(n) OVER (), 6) AS share
+            FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+        """,
+    }

@@ -1,0 +1,149 @@
+"""Exact + n-gram + SimHash deduplication over a documents table.
+
+Training-data-pipeline operators complementing the MinHash/LSH path:
+- exact dedup: hash-groupBy on md5(text) — one shuffle, keep min doc_id.
+- token n-gram Jaccard: fully relational (explode → equi-join → groupBy),
+  the SQL-expressible spelling of the verify stage (J1's relational form,
+  SURVEY.md §2.4).
+- SimHash: 64-bit sign-aggregated token hashes banded into 4×16-bit keys;
+  Hamming-adjacent candidates collide on at least one key (for ≤3-bit
+  distance across 4 bands... standard pigeonhole argument at distance ≤3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rkmh_spark.functions.text import tokens
+
+
+def exact_duplicate_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (text_md5, n_docs, keep_doc_id) for texts appearing more than once."""
+    return (
+        documents.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup_keep_first(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents with non-minimal doc_id per identical text removed."""
+    keep = documents.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return documents.join(keep, "doc_id", "left_semi")
+
+
+def token_ngrams(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, ngram) — distinct token n-grams per document.
+
+    Relational spelling: tokens → index sequence → slice windows →
+    concat_ws, all JVM-side array functions (no Python).
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("ngram")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc pairs with distinct-token-n-gram Jaccard >= threshold.
+
+    explode → self-equi-join on ngram → groupBy pair → |∩| ; |∪| by
+    inclusion-exclusion from per-doc gram counts (broadcast-joined).
+    """
+    grams = token_ngrams(documents, n, text_col)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, "ngram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_grams": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_grams": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, simhash) — 64-bit SimHash over distinct tokens.
+
+    bit_b(doc) = 1 iff sum over tokens of sign(bit_b(xxhash64(token))) > 0.
+    Spelled entirely with JVM expressions: explode distinct tokens,
+    per-bit +1/−1 vote, groupBy(doc).sum per bit, reassemble. Bits are
+    materialized as a 64-wide vote aggregation via shiftright/bitwise-and.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_band_candidates(signatures: DataFrame) -> DataFrame:
+    """Pairs colliding on any 16-bit quarter of the SimHash (≤3-bit
+    Hamming neighbors always share a quarter, by pigeonhole)."""
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (array<float>).
+
+- Brute-force cosine top-k: the correctness baseline. Dot products are
+  computed with F.aggregate/F.zip_with (JVM expressions — no Python UDF);
+  top-k per query via window row_number.
+- LSH-bucketed variant (scale path): random-hyperplane signatures bucket
+  vectors; candidates only within matching buckets, re-ranked exactly.
+  Hyperplanes are seeded and broadcast as literal arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    ca, cb = F.col(a), F.col(b)
+    return df.withColumn(
+        out,
+        F.round(_dot(ca, cb) / (_norm(ca) * _norm(cb)), 6),
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each query vector: exact top-k cosine neighbors (excluding self).
+
+    queries is expected small → broadcast; the big side streams through a
+    single codegen'd projection (no shuffle until the per-query top-k).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col("nvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, bucket) — sign pattern under seeded random hyperplanes.
+
+    Cosine-LSH: P(same bit) = 1 - angle/π. Buckets shrink candidate sets
+    from O(n²) to intra-bucket pairs; recall tunable via multiple tables.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    vec = F.col(vec_col)
+    for i in range(n_planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bucket = bucket + F.when(
+            _dot(vec, lit_plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    dim: int = 32,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates within hyperplane buckets,
+    exact cosine re-rank inside each bucket."""
+    b = hyperplane_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    withb = e.join(b, "vec_id")
+    a, c = withb.alias("a"), withb.alias("b")
+    scored = (
+        a.join(c, "bucket")
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (_norm(F.col("a.vec")) * _norm(F.col("b.vec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
