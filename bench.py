@@ -1,0 +1,80 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query executes with a noop write so every
+column is materialized (a bare count() would let Catalyst prune the work).
+
+Extra keys beyond the required contract:
+  pages_per_sec  — flagship dedup throughput (docs / dedup seconds)
+  scaling        — optional; populated by bench_scaling.py runs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry
+    from rkmh_spark.session import get_spark
+
+    spark = get_spark(app_name="rkmh_spark_bench", cores=cpus)
+    qfns = entry.queries()
+
+    headline = [
+        "dedup_assignments",      # flagship: full LSH dedup pipeline
+        "minhash_signatures",     # signature-stage throughput
+        "exact_dup_groups",
+        "token_docfreq",
+        "ngram_jaccard_pairs",
+        "simhash_bands",
+        "embedding_topk",
+        "pricing_summary",
+        "brand_revenue",
+        "rolling_avg",
+        "top_orders_per_customer",
+    ]
+
+    # JVM+python-worker warm-up on the tiny sf so per-query times are real
+    _run(qfns["pricing_summary"](spark, "/root/testdata/sf0.001"))
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        if name not in qfns:
+            continue
+        t0 = time.perf_counter()
+        _run(qfns[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    dedup_sec = times.get("dedup_assignments", float("nan"))
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "pages_per_sec": round(n_docs / dedup_sec, 1) if dedup_sec else None,
+        "n_docs": n_docs,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Resumability: kill-after-stage-k then re-run → identical outputs,
+completed stages skipped (BASELINE.md resumability metric)."""
+
+import json
+import os
+
+import pytest
+
+from rkmh_spark.config import TEST_CONFIG
+from rkmh_spark.plans.checkpoint import CheckpointManager, resumable_dedup
+from rkmh_spark.sources.pages import pages_dataframe
+
+
+@pytest.fixture()
+def pages(spark):
+    return pages_dataframe(spark, n_clusters=12, dup_rate=0.6, seed=3)
+
+
+def _assignments(spark, pages, root):
+    ckpt = CheckpointManager(str(root))
+    df = resumable_dedup(spark, pages, TEST_CONFIG, ckpt)
+    return sorted(map(tuple, df.collect())), ckpt
+
+
+def test_full_run_then_rerun_identical(spark, pages, tmp_path):
+    a1, ckpt = _assignments(spark, pages, tmp_path / "ck")
+    # all four manifests complete
+    for st in ("signatures", "candidates", "pairs", "assignments"):
+        assert ckpt.is_complete(st), st
+    a2, _ = _assignments(spark, pages, tmp_path / "ck")
+    assert a1 == a2
+
+
+def test_kill_after_stage_resumes_with_same_result(spark, pages, tmp_path):
+    root = tmp_path / "ck"
+    # simulate a run killed after the signatures stage completed
+    ckpt = CheckpointManager(str(root))
+    from rkmh_spark.operators.signatures import compute_signatures
+
+    ckpt.stage(spark, "signatures", lambda: compute_signatures(pages, TEST_CONFIG))
+    sig_manifest = ckpt.manifest("signatures")
+    assert sig_manifest["status"] == "complete"
+
+    # resume: full pipeline reuses the signatures checkpoint
+    a1, ckpt2 = _assignments(spark, pages, root)
+    assert ckpt2.manifest("signatures")["checksum"] == sig_manifest["checksum"]
+
+    # reference run from scratch must agree
+    a2, _ = _assignments(spark, pages, tmp_path / "fresh")
+    assert a1 == a2
+
+
+def test_incomplete_stage_recomputes(spark, pages, tmp_path):
+    root = tmp_path / "ck"
+    a1, ckpt = _assignments(spark, pages, root)
+    # corrupt: mark pairs stage incomplete (as if killed mid-write)
+    mpath = os.path.join(ckpt.stage_path("pairs"), "_MANIFEST.json")
+    m = json.load(open(mpath))
+    m["status"] = "incomplete"
+    json.dump(m, open(mpath, "w"))
+    os.remove(os.path.join(ckpt.stage_path("assignments"), "_MANIFEST.json"))
+
+    a2, ckpt2 = _assignments(spark, pages, root)
+    assert a1 == a2
+    assert ckpt2.is_complete("pairs")
+
+
+def test_lineage_rows_sum_to_total(spark, pages, tmp_path):
+    _, ckpt = _assignments(spark, pages, tmp_path / "ck")
+    for st in ("signatures", "pairs", "assignments"):
+        m = ckpt.manifest(st)
+        assert sum(p["rows"] for p in m["partitions"]) == m["rows"], st
+        assert m["wall_ms"] >= 0 and "checksum" in m
