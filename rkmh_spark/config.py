@@ -56,11 +56,14 @@ class DedupConfig:
 
 # A small config used across unit tests/fixtures: documents in the synthetic
 # corpora are short (~128 chars), so a small k and s keep sketches meaningful.
-# b=32, r=2 → capture at j=0.5 is 1-(1-0.25)^32 ≈ 0.9999.
+# b=72, r=4 → capture at j=0.5 is 1-(1-0.5^4)^72 ≈ 0.9905 (≥0.99 gate), while
+# the corpus-baseline pairs (median j≈0.06, p99≈0.19 on the testdata
+# documents) almost never become candidates — r=2 made 64% of random pairs
+# plausible candidates, r=4 cuts that to 2%.
 TEST_CONFIG = DedupConfig(
     k=8,
     sketch_size=64,
-    num_bands=32,
-    band_rows=2,
+    num_bands=72,
+    band_rows=4,
     jaccard_threshold=0.5,
 )

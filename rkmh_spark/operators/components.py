@@ -42,33 +42,39 @@ def connected_components(
     ).union(edges.select(F.col(dst_col), F.col(src_col)))
     sym = sym.persist()
 
+    # round 0 fused into initialization: label = min(self, neighbors)
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("mn"))
+        .select("node", F.least("node", "mn").alias("label"))
         .localCheckpoint(eager=True)
     )
 
+    def _sig(df) -> tuple:
+        """Cheap convergence fingerprint: one aggregate job, no join.
+        decimal sum survives ANSI overflow; (sum, count) collision over
+        consecutive rounds is vanishing and bounded by max_iterations."""
+        row = df.agg(
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("c"),
+        ).first()
+        return (int(row["s"] or 0), row["c"])
+
+    prev = _sig(labels)
     for _ in range(max_iterations):
         nbr_labels = sym.join(
             labels, sym["dst"] == labels["node"], "inner"
         ).select(F.col("src").alias("node"), "label")
-        new_labels = (
+        labels = (
             labels.unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur = _sig(labels)
+        if cur == prev:
             break
+        prev = cur
 
     sym.unpersist()
     return labels

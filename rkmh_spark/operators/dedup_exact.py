@@ -63,8 +63,12 @@ def ngram_jaccard_pairs(
 
     explode → self-equi-join on ngram → groupBy pair → |∩| ; |∪| by
     inclusion-exclusion from per-doc gram counts (broadcast-joined).
+
+    The gram relation feeds three plan branches (sizes + both join sides);
+    without a persist Spark recomputes the generation expression per
+    branch — 4× the stage cost measured at sf0.1.
     """
-    grams = token_ngrams(documents, n, text_col)
+    grams = token_ngrams(documents, n, text_col).persist()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     shared = (

@@ -22,28 +22,50 @@ from pyspark.sql.functions import pandas_udf
 from rkmh_spark.config import DedupConfig
 
 
+def _occ_ranks(pair_ids: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Occurrence index within runs of equal (pair, value).
+
+    Sketches are sorted (u64 order) so equal values are adjacent within a
+    pair; the k-th duplicate gets rank k, which turns multiset intersection
+    into set intersection on (pair, value, rank) triples.
+    """
+    n = values.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    new = np.ones(n, dtype=bool)
+    new[1:] = (pair_ids[1:] != pair_ids[:-1]) | (values[1:] != values[:-1])
+    starts = np.flatnonzero(new)
+    reps = np.diff(np.append(starts, n))
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, reps)
+
+
+_TRIPLE = np.dtype([("p", "<i8"), ("v", "<i8"), ("o", "<i8")])
+
+
+def _flatten(series: pd.Series):
+    arrs = [np.asarray(x, dtype=np.int64) for x in series]
+    lens = np.fromiter((a.shape[0] for a in arrs), dtype=np.int64, count=len(arrs))
+    pair_ids = np.repeat(np.arange(len(arrs), dtype=np.int64), lens)
+    vals = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    t = np.empty(vals.shape[0], dtype=_TRIPLE)
+    t["p"], t["v"], t["o"] = pair_ids, vals, _occ_ranks(pair_ids, vals)
+    return t
+
+
 @pandas_udf(T.LongType())
 def _shared_count(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Multiset |a ∩ b| per pair. Arrow-batched; per-pair work is numpy.
+    """Multiset |a ∩ b| per pair, fully vectorized over the Arrow batch.
 
     Sketches arrive as int64 bit-casts of u64; equality is bit-equality so
-    signedness is irrelevant here.
+    signedness is irrelevant. The whole batch reduces to ONE structured
+    np.intersect1d (C sort+merge) instead of a python loop per pair —
+    reference kernel parity (merge-count with multiplicity,
+    /root/reference/src/rkmh.cpp:869) at batch speed.
     """
-    out = np.empty(len(a), dtype=np.int64)
-    for i in range(len(a)):
-        xa, xb = np.asarray(a.iloc[i]), np.asarray(b.iloc[i])
-        if xa.size == 0 or xb.size == 0:
-            out[i] = 0
-            continue
-        va, ca = np.unique(xa, return_counts=True)
-        vb, cb = np.unique(xb, return_counts=True)
-        ia = np.isin(va, vb, assume_unique=True)
-        if not ia.any():
-            out[i] = 0
-        else:
-            ib = np.isin(vb, va, assume_unique=True)
-            out[i] = np.minimum(ca[ia], cb[ib]).sum()
-    return pd.Series(out)
+    ta, tb = _flatten(a), _flatten(b)
+    inter = np.intersect1d(ta, tb, assume_unique=True)
+    counts = np.bincount(inter["p"], minlength=len(a))
+    return pd.Series(counts.astype(np.int64))
 
 
 def verify_pairs(
