@@ -138,9 +138,16 @@ def minhash_vector(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarr
     h = hashes[hashes != 0]
     if h.size == 0:
         return np.empty(0, dtype=np.int64)
-    # (n, K) mixed matrix; min along shingles. uint64 wraparound intended.
-    mixed = h[:, None] * a[None, :] + b[None, :]
-    return mixed.min(axis=0).view(np.int64)
+    # Chunk the (n, K) mixed matrix so the intermediate stays cache-resident
+    # instead of streaming n*K*8 bytes through DRAM per document — the
+    # unchunked version left the signature stage memory-bandwidth-bound
+    # (no speedup 8→32 cores).
+    chunk = max(1, 65536 // max(1, a.shape[0]))
+    mins = np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i in range(0, h.shape[0], chunk):
+        mixed = h[i : i + chunk, None] * a[None, :] + b[None, :]
+        np.minimum(mins, mixed.min(axis=0), out=mins)
+    return mins.view(np.int64)
 
 
 def multiset_intersection_size(a: np.ndarray, b: np.ndarray) -> int:

@@ -1,0 +1,6 @@
+from rkmh_spark.streaming.stream_classify import (
+    classify_file_stream,
+    incremental_dedup_stream,
+)
+
+__all__ = ["classify_file_stream", "incremental_dedup_stream"]
