@@ -331,6 +331,104 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, k=3, dim=32, n_planes=10)
 
 
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dups, exact relational spelling: doc pairs where one
+    text occurs verbatim inside the other (J4 exact confirmation)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(
+            F.col("ta").contains(F.col("tb")) | F.col("tb").contains(F.col("ta"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.length("ta") <= F.length("tb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+    )
+
+
+def q_user_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (events by user x day)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "user_id", F.col("ts").cast("string").substr(1, 10).alias("day")
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 sketch path: Broder threshold-restricted containment estimate on
+    LSH candidates (rows-only; exact spelling is substring_pairs)."""
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.operators.containment import containment_pairs
+    from rkmh_spark.operators.lsh import band_buckets, candidate_pairs
+    from rkmh_spark.operators.signatures import compute_signatures
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    pages = documents_as_pages(_docs(spark, sf_dir))
+    sigs = compute_signatures(pages, TEST_CONFIG).persist()
+    cands = candidate_pairs(band_buckets(sigs, TEST_CONFIG), TEST_CONFIG)
+    return containment_pairs(cands, sigs, TEST_CONFIG, containment_threshold=0.9)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rows-only)."""
+    from rkmh_spark.functions.fingerprint import fingerprint_documents
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    pages = documents_as_pages(_docs(spark, sf_dir))
+    return fingerprint_documents(pages, k=8, w=4).select("url", "n_fp")
+
+
+def q_cluster_rep_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 merge: representative sketch per dedup cluster (rows-only)."""
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.operators.dedup import dedup_pages
+    from rkmh_spark.operators.merge_sketch import cluster_representative_sketches
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    pages = documents_as_pages(_docs(spark, sf_dir))
+    res = dedup_pages(pages, TEST_CONFIG)
+    reps = cluster_representative_sketches(res.signatures, res.assignments, TEST_CONFIG)
+    return reps.select("cluster_id", F.size("sketch").alias("sketch_len"))
+
+
+def q_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 membership probe: broadcast shingle dictionary (rows-only)."""
+    import numpy as np
+
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.functions.shingles import shingle_hashes
+    from rkmh_spark.operators.search import search_hashes_broadcast
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    pages = documents_as_pages(_docs(spark, sf_dir))
+    first_text = _docs(spark, sf_dir).orderBy("doc_id").first()["text"]
+    dic = shingle_hashes(first_text, TEST_CONFIG.k, TEST_CONFIG.hash_seed).view(np.int64)
+    return search_hashes_broadcast(pages, dic, TEST_CONFIG).select("url", "n_hits")
+
+
+def q_sketch_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 sink: Mash-style sketch JSON rows (rows-only)."""
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.functions.sinks import sketch_json
+    from rkmh_spark.operators.signatures import compute_signatures
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    pages = documents_as_pages(_docs(spark, sf_dir))
+    return sketch_json(compute_signatures(pages, TEST_CONFIG), TEST_CONFIG).drop(
+        "sketches"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -351,11 +449,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_parts": q_semi_join_parts,
         "customers_without_orders": q_customers_without_orders,
         "event_type_prevalence": q_event_type_prevalence,
+        "substring_pairs": q_substring_pairs,
+        "user_daily_counts": q_user_daily_counts,
         # rows-only (hash kernels):
         "minhash_signatures": q_minhash_signatures,
         "dedup_assignments": q_dedup_assignments,
         "simhash_bands": q_simhash_bands,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "containment_sketch": q_containment_sketch,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "cluster_rep_sketches": q_cluster_rep_sketches,
+        "search_hits": q_search_hits,
+        "sketch_json": q_sketch_json,
     }
 
 
@@ -528,5 +633,17 @@ def oracle_sql() -> dict[str, str]:
         "event_type_prevalence": """
             SELECT event_type, n, round(n * 1.0 / sum(n) OVER (), 6) AS share
             FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+        """,
+        "substring_pairs": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CASE WHEN length(a.text) <= length(b.text)
+                        THEN a.doc_id ELSE b.doc_id END AS contained_doc
+            FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+            WHERE contains(a.text, b.text) OR contains(b.text, a.text)
+        """,
+        "user_daily_counts": """
+            SELECT user_id, substr(ts::VARCHAR, 1, 10) AS day,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id, substr(ts::VARCHAR, 1, 10)
         """,
     }
