@@ -31,12 +31,26 @@ def connected_components(
     max_iterations: int = 20,
     src_col: str = "url_a",
     dst_col: str = "url_b",
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges(url_a, url_b) → labels(node, label); label = min url in component.
 
     Only nodes that appear in an edge are returned; isolated nodes are the
     caller's coalesce (their label is themselves).
+
+    Hybrid execution: below ``driver_threshold`` edges the component
+    structure fits trivially in driver memory, and the distributed loop's
+    per-round job latency (2 shuffles + checkpoint + fingerprint, ~1s fixed
+    each on an idle cluster) dominates — so small edge sets run a local
+    union-find in ONE collect. Past the threshold (the 10^12-doc regime)
+    the iterative hash-join loop runs. Both produce identical min-label
+    results; the threshold only moves the serial-latency/parallelism
+    tradeoff.
     """
+    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(edges, src_col, dst_col)
+
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col), F.col(src_col)))
@@ -78,3 +92,30 @@ def connected_components(
 
     sym.unpersist()
     return labels
+
+
+def _driver_union_find(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Small-graph fast path: exact union-find on collected edges."""
+    rows = edges.select(src_col, dst_col).collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            if a < b:
+                parent[b] = a
+            else:
+                parent[a] = b
+
+    nodes = {u for r in rows for u in (r[0], r[1])}
+    out = [(n, find(n)) for n in nodes]
+    spark = edges.sparkSession
+    return spark.createDataFrame(out, ["node", "label"])

@@ -56,6 +56,36 @@ def _containment_est(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def containment_candidates(
+    signatures: DataFrame, cfg: DedupConfig, n_anchors: int = 16
+) -> DataFrame:
+    """Candidate pairs for ASYMMETRIC dups via shared anchor hashes.
+
+    Symmetric-Jaccard LSH misses containment pairs (a page nested in one
+    3x larger has j≈1/3 → banding capture collapses). But if B ⊆ A, the
+    smallest hash of B is the smallest of A's hashes restricted to B — its
+    rank in A's order is Geometric(f) for containment fraction f, so B's
+    bottom anchor lands in A's bottom-m with P = 1-(1-f)^m (m=16, f=0.2 →
+    0.97). Docs sharing ANY bottom-m hash become candidates; the census/
+    cap guard mirrors the LSH bucket handling.
+    """
+    anchors = signatures.select(
+        "url", F.explode(F.slice("sketch", 1, n_anchors)).alias("anchor")
+    )
+    census = anchors.groupBy("anchor").agg(F.count("*").alias("sz"))
+    eligible = anchors.join(
+        census.where((F.col("sz") >= 2) & (F.col("sz") <= cfg.bucket_cap)),
+        "anchor",
+    ).drop("sz")
+    a, b = eligible.alias("a"), eligible.alias("b")
+    return (
+        a.join(b, "anchor")
+        .where(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        .distinct()
+    )
+
+
 def containment_pairs(
     candidates: DataFrame,
     signatures: DataFrame,

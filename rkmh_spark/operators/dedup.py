@@ -33,9 +33,17 @@ def dedup_pages(
     pages: DataFrame,
     cfg: DedupConfig,
     use_lsh: bool = True,
+    containment_threshold: float | None = None,
 ) -> DedupResult:
     """Run the full dedup pipeline; ``use_lsh=False`` = exhaustive verify
-    (the reference's own mechanism, for fixtures/recall oracles)."""
+    (the reference's own mechanism, for fixtures/recall oracles).
+
+    ``containment_threshold``: when set, LSH candidates additionally go
+    through the containment pass (Broder threshold-restricted estimate →
+    exact substring confirmation against the page texts) and confirmed
+    asymmetric dups become extra edges for clustering — catches
+    truncation/mirror-with-chrome dups whose symmetric Jaccard is low.
+    """
     drop = None
     if cfg.max_doc_freq is not None:
         dfreq = shingle_doc_frequency(pages, cfg)
@@ -45,15 +53,33 @@ def dedup_pages(
 
     if use_lsh:
         buckets = band_buckets(sigs, cfg)
-        cands = candidate_pairs(buckets, cfg)
+        cands = candidate_pairs(buckets, cfg).persist()
         pairs = verify_pairs(cands, sigs, cfg)
     else:
+        cands = None
         pairs = brute_force_pairs(sigs, cfg)
-    pairs = pairs.persist()
 
-    labels = connected_components(
-        pairs.select("url_a", "url_b"), cfg.max_cc_iterations
-    )
+    pairs = pairs.persist()
+    edges = pairs.select("url_a", "url_b")
+    if containment_threshold is not None and cands is not None:
+        from rkmh_spark.operators.containment import (
+            confirm_substring,
+            containment_candidates,
+            containment_pairs,
+        )
+
+        # asymmetric dups need their own candidates: symmetric-Jaccard
+        # banding misses them by construction (see containment_candidates)
+        ccands = cands.unionByName(
+            containment_candidates(sigs, cfg)
+        ).distinct()
+        contained = containment_pairs(ccands, sigs, cfg, containment_threshold)
+        confirmed = confirm_substring(contained, pages)
+        edges = edges.unionByName(
+            confirmed.select("url_a", "url_b")
+        ).distinct()
+
+    labels = connected_components(edges, cfg.max_cc_iterations)
     assignments = (
         pages.select("url")
         .join(labels.withColumnRenamed("node", "url"), "url", "left")
