@@ -416,6 +416,31 @@ def q_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_hashes_broadcast(pages, dic, TEST_CONFIG).select("url", "n_hits")
 
 
+def q_two_tier_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hpv16 lifecycle: tier-1 sketch argmax + tier-2 discriminative-hash
+    group assignment (rows-only)."""
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.operators.two_tier import two_tier_classify
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    docs = _docs(spark, sf_dir)
+    pages = documents_as_pages(docs)
+    panel = pages.where(F.col("url").substr(-1, 1).isin("0", "5"))
+    queries_df = pages.where(~F.col("url").substr(-1, 1).isin("0", "5")).limit(50)
+    return two_tier_classify(queries_df, panel, TEST_CONFIG)
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: keep one representative page per near-dup cluster (rows-only)."""
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.operators.dedup import dedup_pages, keep_representatives
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    pages = documents_as_pages(_docs(spark, sf_dir))
+    res = dedup_pages(pages, TEST_CONFIG)
+    return keep_representatives(pages, res.assignments).select("url", "lang")
+
+
 def q_sketch_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 sink: Mash-style sketch JSON rows (rows-only)."""
     from rkmh_spark.config import TEST_CONFIG
@@ -461,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_rep_sketches": q_cluster_rep_sketches,
         "search_hits": q_search_hits,
         "sketch_json": q_sketch_json,
+        "two_tier_classify": q_two_tier_classify,
+        "cluster_representatives": q_cluster_representatives,
     }
 
 

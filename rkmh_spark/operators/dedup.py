@@ -22,6 +22,18 @@ from rkmh_spark.operators.signatures import compute_signatures
 from rkmh_spark.operators.verify import brute_force_pairs, verify_pairs
 
 
+def keep_representatives(pages: DataFrame, assignments: DataFrame) -> DataFrame:
+    """S8 graft role ('filter' sink, /root/reference/src/rkmh.cpp:1298-1310):
+    re-emit only the pages that pass — here, one representative per cluster
+    (the min-url member, which IS the cluster id under the min-label rule).
+    """
+    return pages.join(
+        assignments.where(F.col("url") == F.col("cluster_id")).select("url"),
+        "url",
+        "left_semi",
+    )
+
+
 @dataclass
 class DedupResult:
     signatures: DataFrame
