@@ -100,9 +100,16 @@ def _salted_triangle_pairs(hot: DataFrame, cap: int) -> DataFrame:
         F.explode(F.sequence(F.lit(0).cast("long"), F.col("shard"))).alias("i"),
         F.col("shard").alias("j"),
     )
+    # NB: cannot filter a.url < b.url here — a pair whose smaller url sits
+    # in the HIGHER shard only ever joins in the (bigger, smaller)
+    # orientation (left side carries shard i, right side shard j, i <= j).
+    # Normalize with least/greatest instead; candidate_pairs dedups.
     return (
         left.alias("a")
         .join(right.alias("b"), _BUCKET_KEY + ["i", "j"])
-        .where(F.col("a.url") < F.col("b.url"))
-        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        .where(F.col("a.url") != F.col("b.url"))
+        .select(
+            F.least(F.col("a.url"), F.col("b.url")).alias("url_a"),
+            F.greatest(F.col("a.url"), F.col("b.url")).alias("url_b"),
+        )
     )
