@@ -416,6 +416,39 @@ def q_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_hashes_broadcast(pages, dic, TEST_CONFIG).select("url", "n_hits")
 
 
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact relational spelling."""
+    from rkmh_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return embedding_near_dup_pairs(emb, threshold=0.95)
+
+
+def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via multi-table hyperplane LSH (rows-only)."""
+    from rkmh_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return embedding_near_dup_pairs_lsh(emb, threshold=0.95, dim=32)
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letters / digits / punct runs)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0
+            )
+        ).alias("n_bpe_tokens"),
+    )
+
+
 def q_two_tier_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hpv16 lifecycle: tier-1 sketch argmax + tier-2 discriminative-hash
     group assignment (rows-only)."""
@@ -476,11 +509,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_prevalence": q_event_type_prevalence,
         "substring_pairs": q_substring_pairs,
         "user_daily_counts": q_user_daily_counts,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "bpe_token_counts": q_bpe_token_counts,
         # rows-only (hash kernels):
         "minhash_signatures": q_minhash_signatures,
         "dedup_assignments": q_dedup_assignments,
         "simhash_bands": q_simhash_bands,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "containment_sketch": q_containment_sketch,
         "winnow_fingerprints": q_winnow_fingerprints,
         "cluster_rep_sketches": q_cluster_rep_sketches,
@@ -672,5 +708,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, substr(ts::VARCHAR, 1, 10) AS day,
                    count(*) AS n_events
             FROM events GROUP BY user_id, substr(ts::VARCHAR, 1, 10)
+        """,
+        "embedding_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                   AS n_bpe_tokens
+            FROM documents
         """,
     }

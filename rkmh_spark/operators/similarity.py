@@ -100,6 +100,77 @@ def hyperplane_buckets(
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine >= τ).
+
+    Relational spelling (SQL-oracle-checkable): self-join + JVM dot
+    product. O(n²) — the correctness baseline; the scale path buckets with
+    hyperplane LSH first (embedding_near_dup_pairs_lsh).
+    """
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 32,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: multi-table hyperplane buckets → candidates → exact
+    re-check. P(bucket match | angle θ) = (1-θ/π)^n_planes per table;
+    cos 0.95 → θ≈18° → ~0.66/table, 4 tables → ~0.987 capture."""
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cands = None
+    for t in range(n_tables):
+        b = hyperplane_buckets(
+            embeddings, dim, n_planes, seed + 1000 * t, id_col, vec_col
+        ).withColumnRenamed("vec_id", "id")
+        wb = e.join(b, "id")
+        a, c = wb.alias("a"), wb.alias("b")
+        p = (
+            a.join(c, "bucket")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    j = (
+        cands.join(e.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(e.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            6,
+        ).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 10,
