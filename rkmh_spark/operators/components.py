@@ -118,4 +118,12 @@ def _driver_union_find(edges: DataFrame, src_col: str, dst_col: str) -> DataFram
     nodes = {u for r in rows for u in (r[0], r[1])}
     out = [(n, find(n)) for n in nodes]
     spark = edges.sparkSession
-    return spark.createDataFrame(out, ["node", "label"])
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", T.StringType(), False),
+            T.StructField("label", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema=schema)
