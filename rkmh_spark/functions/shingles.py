@@ -67,7 +67,7 @@ def sketch_texts_batch(
     s: int,
     seed: int = 42,
     drop_hashes: np.ndarray | None = None,
-    perm_params: tuple[np.ndarray, np.ndarray] | None = None,
+    num_bins: int | None = None,
 ):
     """Sketch a whole Arrow batch of texts with ONE murmur pass.
 
@@ -81,9 +81,9 @@ def sketch_texts_batch(
     /root/reference/src/rkmh.cpp:835-836) removed BEFORE bottom-s selection,
     matching minhashes_frequency_filter semantics.
 
-    ``perm_params``: optional (a, b) from minhash_permutation_params; when
-    given, also returns per-doc K-wide independent minhash vectors for LSH
-    banding (computed from the SAME murmur pass).
+    ``num_bins``: when given, also returns per-doc K-wide OPH minhash
+    vectors for LSH banding (computed from the SAME sorted hash array the
+    bottom-s sketch uses — one sort serves both signatures).
 
     Returns (sketches: list[int64 array], minhashes: list[int64]|None,
     n_shingles: int64 array).
@@ -97,20 +97,65 @@ def sketch_texts_batch(
             mats.append(m)
     empty = np.empty(0, dtype=np.int64)
     if not mats:
-        mh = [empty] * len(texts) if perm_params is not None else None
+        mh = [empty] * len(texts) if num_bins is not None else None
         return [empty] * len(texts), mh, counts
     all_hashes = murmur3_x64_128_low64(np.vstack(mats), seed=seed)
     offsets = np.concatenate(([0], np.cumsum(counts)))
     sketches = []
-    minhashes = [] if perm_params is not None else None
+    minhashes = [] if num_bins is not None else None
     for i in range(len(texts)):
         h = all_hashes[offsets[i] : offsets[i + 1]]
         if drop_hashes is not None and drop_hashes.size and h.size:
             h = h[~np.isin(h, drop_hashes)]
-        sketches.append(bottom_s_sketch(h, s).view(np.int64))
+        hs = np.sort(h[h != 0])
+        sketches.append(hs[:s].view(np.int64))
         if minhashes is not None:
-            minhashes.append(minhash_vector(h, *perm_params))
+            minhashes.append(oph_minhash(hs, num_bins))
     return sketches, minhashes, counts
+
+
+_DENSIFY_C = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def oph_minhash(sorted_hashes: np.ndarray, num_bins: int) -> np.ndarray:
+    """One-Permutation-Hashing minhash vector (K bins) from SORTED hashes.
+
+    Classic K-permutation minhash costs O(n*K) mixing per document — at
+    K=144 that is ~100x the murmur cost and left the signature stage
+    memory-bandwidth-bound. OPH (Li/Owen/Zhang 2012) hashes each shingle
+    ONCE: bin = h mod K, signature[bin] = min h in bin — O(n) after the
+    sort the bottom-s sketch needs anyway. Empty bins (only short docs:
+    P(empty) = (1-1/K)^n) take rotation densification (Shrivastava/Li
+    2014): borrow the next non-empty bin's value cyclically, offset by
+    distance*C so different borrow distances don't spuriously collide.
+
+    Input must be ascending uint64 with zero-sentinels removed; returns
+    (K,) int64 bit-cast. Empty input → empty vector (depth-filter F1).
+    """
+    if sorted_hashes.size == 0:
+        return np.empty(0, dtype=np.int64)
+    k = np.uint64(num_bins)
+    bins = (sorted_hashes % k).astype(np.int64)
+    present, first_idx = np.unique(bins, return_index=True)
+    vals = np.zeros(num_bins, dtype=np.uint64)
+    filled = np.zeros(num_bins, dtype=bool)
+    vals[present] = sorted_hashes[first_idx]  # ascending → first = min
+    filled[present] = True
+    n_empty = num_bins - present.size
+    if n_empty:
+        # distance to next filled bin, cyclic, via a doubled suffix scan
+        idx2 = np.concatenate([filled, filled]).nonzero()[0]
+        # for each position p, the smallest filled index >= p
+        nxt_ptr = np.searchsorted(idx2, np.arange(2 * num_bins))
+        src = idx2[np.minimum(nxt_ptr, idx2.size - 1)]
+        dist = (src - np.arange(2 * num_bins))[:num_bins]
+        srcmod = (src % num_bins)[:num_bins]
+        empty_pos = ~filled
+        vals[empty_pos] = (
+            vals[srcmod[empty_pos]]
+            + dist[empty_pos].astype(np.uint64) * _DENSIFY_C
+        )
+    return vals.view(np.int64)
 
 
 def minhash_permutation_params(num_perms: int, seed: int = 42):

@@ -36,10 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from rkmh_spark.config import DedupConfig
-from rkmh_spark.functions.shingles import (
-    minhash_permutation_params,
-    sketch_texts_batch,
-)
+from rkmh_spark.functions.shingles import sketch_texts_batch
 
 
 def signatures_schema() -> T.StructType:
@@ -71,11 +68,10 @@ def compute_signatures(
     narrow = pages.select(url_col, text_col)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        perms = minhash_permutation_params(num_perms, seed)
         for pdf in batches:
             sketches, minhashes, counts = sketch_texts_batch(
                 pdf[text_col].tolist(), k, s, seed,
-                drop_hashes=banned, perm_params=perms,
+                drop_hashes=banned, num_bins=num_perms,
             )
             yield pd.DataFrame(
                 {
