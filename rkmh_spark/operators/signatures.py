@@ -14,9 +14,10 @@ vectorized kernel.
 Two signatures per page, from the same murmur pass:
 - ``sketch``: bottom-s multiset sketch — the REFERENCE-PARITY object; exact
   verification and recall accounting use only this.
-- ``minhash``: K = num_bands*band_rows independent minhash values (bijective
-  u64 mixers) — the LSH banding object. Bottom-k slices don't band (one
-  differing small hash shifts all later positions), independent minima do.
+- ``minhash``: K = num_bands*band_rows One-Permutation-Hashing minima
+  (bin = h mod K, per-bin min, rotation densification) — the LSH banding
+  object. Bottom-k slices don't band (one differing small hash shifts all
+  later positions); per-bin minima do, at O(n) instead of O(n*K).
 
 Scale notes:
 - Output is O(s + K) longs/doc regardless of document size, so the
