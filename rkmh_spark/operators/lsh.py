@@ -53,12 +53,17 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     at web scale); 2..cap buckets take the plain self-equi-join; > cap
     buckets take the salted triangle join.
     """
-    # the bucket relation feeds census + both pair branches; without a
-    # persist the posexplode/band projection recomputes per branch (4x
-    # measured at 19k docs / 32 cores)
-    buckets = buckets.persist()
-    census = buckets.groupBy(*_BUCKET_KEY).agg(F.count("*").alias("sz"))
-    sized = buckets.join(census.where(F.col("sz") >= 2), _BUCKET_KEY).persist()
+    # bucket sizes via window count: ONE shuffle on the bucket key versus
+    # the agg-then-join census spelling (two), and the sized relation is
+    # persisted because both pair branches read it
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*_BUCKET_KEY)
+    sized = (
+        buckets.withColumn("sz", F.count("*").over(w))
+        .where(F.col("sz") >= 2)
+        .persist()
+    )
 
     normal = sized.where(F.col("sz") <= cfg.bucket_cap).drop("sz")
     a, b = normal.alias("a"), normal.alias("b")
