@@ -104,20 +104,28 @@ warm = dedup_pages(pages.limit(400).repartition(cores), cfg)
 warm.assignments.count()
 t0 = time.perf_counter()
 res = dedup_pages(pages, cfg)
-n_pairs = res.pairs.count()
-n_assign = res.assignments.count()
+n_assign = res.assignments.count()   # one end-to-end action drives the DAG
 wall = time.perf_counter() - t0
+n_pairs = res.pairs.count()          # pairs persisted: count outside timing
 print(f"RESULT {{n}} {{n_pairs}} {{n_assign}} {{wall:.2f}}", flush=True)
 spark.stop()
 """
 
 
 def _run_level(cores: int) -> dict:
-    """One fresh-JVM run of the full pipeline at the given parallelism."""
+    """One fresh-JVM run of the full pipeline at the given parallelism.
+
+    The whole process tree (JVM task threads AND GC/IO threads AND python
+    workers) is pinned to exactly ``cores`` CPUs with taskset — a bare
+    local[N] bounds only task slots, so a "2-core" run was silently using
+    ~4 CPUs of GC/python, overstating small-N throughput and understating
+    scaling efficiency.
+    """
     script = _CHILD.format(repo=REPO, pages=PAGES)
     proc = subprocess.run(
-        [sys.executable, "-c", script, str(cores)],
-        capture_output=True, text=True, timeout=900,
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", script,
+         str(cores)],
+        capture_output=True, text=True, timeout=1800,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
