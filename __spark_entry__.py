@@ -54,11 +54,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries — SQL-verifiable
 
 
+def _docs_with_planted_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-emitted copies of every 50th doc (id+100000) — a
+    deterministic construction both engines build identically, so the
+    exact-dedup check is NON-vacuous (r1's ran on 0 rows)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(planted)
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via hash-groupBy (training-pipeline op; S7 sink shape)."""
     from rkmh_spark.operators.dedup_exact import exact_duplicate_groups
 
-    return exact_duplicate_groups(_docs(spark, sf_dir))
+    return exact_duplicate_groups(_docs_with_planted_exact_dups(spark, sf_dir))
 
 
 def q_token_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,20 +143,34 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_unique_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: multi-way set difference — tokens unique to exactly one lang
-    (discriminative-shingle table, rkmh.cpp:2558-2598) as ONE shuffle."""
+    """J6: multi-way set difference — token BIGRAMS unique to exactly one
+    lang (discriminative-shingle table, rkmh.cpp:2558-2598) as ONE shuffle.
+
+    Bigrams, not unigrams: at sf0.01 every unigram occurs in every lang
+    (0-row vacuous green in r1); the bigram space is sparse enough that
+    the set difference is non-empty while the operator shape is identical.
+    """
     d = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n_b = F.size(toks) - 1
+    grams = F.when(
+        n_b >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_b),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     tl = d.select(
-        "lang", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
+        "lang", F.explode(F.array_distinct(grams)).alias("bigram")
     ).distinct()
     return (
-        tl.groupBy("token")
+        tl.groupBy("bigram")
         .agg(
             F.count_distinct("lang").alias("n_langs"),
             F.min("lang").alias("lang"),
         )
         .where(F.col("n_langs") == 1)
-        .select("token", "lang")
+        .select("bigram", "lang")
     )
 
 
@@ -267,9 +292,15 @@ def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 anti-join spelling."""
+    """J6 anti-join spelling: customers with no order above 400k (every
+    customer has SOME order at sf0.01 — the unfiltered anti-join was a
+    0-row vacuous green in r1; the filter makes the difference real)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
@@ -297,8 +328,67 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = documents_as_pages(_docs(spark, sf_dir))
     sig = compute_signatures(pages, TEST_CONFIG)
     return sig.select(
-        "url", F.size("sketch").alias("sketch_len"), "n_shingles"
+        "url", F.size("sketch").cast("long").alias("sketch_len"), "n_shingles"
     )
+
+
+def q_min_occ_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (rkmh -M min_kmer_occ): keep a shingle hash iff its global
+    occurrence count >= 2, then bottom-s sketch the survivors. The DuckDB
+    oracle replays the same filter in SUBSTRING space (hash<->k-gram is
+    1:1 on this corpus), so the kept-count per doc is hash-checked."""
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.operators.signatures import compute_signatures_min_occ
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    import dataclasses
+
+    cfg = dataclasses.replace(TEST_CONFIG, min_occ=2)
+    pages = documents_as_pages(_docs(spark, sf_dir))
+    sig = compute_signatures_min_occ(pages, cfg)
+    return sig.select(
+        "url", F.size("sketch").cast("long").alias("sketch_len"), "n_shingles"
+    )
+
+
+def q_variant_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+A9+F7 graft (rkmh `call`, rkmh.cpp:1627-1888): docs 0-4 are the
+    'references', docs >=5 the 'reads'; k=6 char-grams, window 10. Depth
+    trigger → SNP/del permutation → rescue-depth thresholds → per-site
+    aggregation. Fully relational → full DuckDB oracle."""
+    from rkmh_spark.operators.variants import call_variants
+
+    d = _docs(spark, sf_dir)
+    refs = d.where(F.col("doc_id") < 5).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    corpus = d.where(F.col("doc_id") >= 5).select("text")
+    return call_variants(refs, corpus, k=6, window_len=10)
+
+
+def q_variant_vcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 VCF sink: the call sites formatted as reference-ordered VCF body
+    lines (rkmh.cpp:1884-1887)."""
+    from rkmh_spark.operators.variants import call_variants, vcf_lines
+
+    d = _docs(spark, sf_dir)
+    refs = d.where(F.col("doc_id") < 5).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    corpus = d.where(F.col("doc_id") >= 5).select("text")
+    return vcf_lines(call_variants(refs, corpus, k=6, window_len=10))
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc (JVM xxhash64 token votes). Oracle: an
+    INDEPENDENT pure-Python XXH64 (validated on the public test vectors)
+    re-derives every signature — embedded as literal VALUES because DuckDB
+    has no xxhash64 (r1 had no correctness evidence for SimHash at all)."""
+    from rkmh_spark.operators.dedup_exact import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir))
 
 
 def q_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,14 +411,39 @@ def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_band_candidates(simhash_signatures(_docs(spark, sf_dir)))
 
 
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ near-dup copies (+0.02 per component, id+100000) of
+    vec_id < 25 — deterministic in both engines; raw pairwise cosine tops
+    out at 0.51 on this data so un-planted near-dup checks are vacuous."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = emb.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k neighbors (rows-only)."""
+    """Hyperplane-LSH top-1 for the planted near-dup queries. With 8
+    planes × 4 tables every planted pair (cos≈0.988) collides in ≥1 table
+    (verified deterministic at sf0.01), and nothing else exceeds cos 0.52,
+    so LSH top-1 == brute-force top-1 → a REAL DuckDB oracle for the LSH
+    path (r1 had none; r1 also passed dim=32 for 64-dim vectors, which
+    nulled every bucket bit — all vectors in one bucket)."""
     from rkmh_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    emb = _planted_embeddings(spark, sf_dir)
+    return lsh_topk(
+        emb,
+        k=1,
+        dim=64,
+        n_planes=8,
+        n_tables=4,
+        queries=emb.where(F.col("vec_id") >= 100000),
     )
-    return lsh_topk(emb, k=3, dim=32, n_planes=10)
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,7 +513,9 @@ def q_cluster_rep_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = documents_as_pages(_docs(spark, sf_dir))
     res = dedup_pages(pages, TEST_CONFIG)
     reps = cluster_representative_sketches(res.signatures, res.assignments, TEST_CONFIG)
-    return reps.select("cluster_id", F.size("sketch").alias("sketch_len"))
+    return reps.select(
+        "cluster_id", F.size("sketch").cast("long").alias("sketch_len")
+    )
 
 
 def q_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,23 +534,28 @@ def q_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact relational spelling."""
+    """Embedding-cosine near-dup pairs, exact relational spelling, on the
+    planted table (25 true pairs at cos 0.987-0.989 — non-vacuous)."""
     from rkmh_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    return embedding_near_dup_pairs(
+        _planted_embeddings(spark, sf_dir), threshold=0.95
     )
-    return embedding_near_dup_pairs(emb, threshold=0.95)
 
 
 def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via multi-table hyperplane LSH (rows-only)."""
+    """Embedding near-dup via multi-table hyperplane LSH on the planted
+    table. Deterministic full capture (8 planes × 4 tables, seeded) →
+    shares the EXACT path's DuckDB oracle."""
     from rkmh_spark.operators.similarity import embedding_near_dup_pairs_lsh
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    return embedding_near_dup_pairs_lsh(
+        _planted_embeddings(spark, sf_dir),
+        threshold=0.95,
+        dim=64,
+        n_planes=8,
+        n_tables=4,
     )
-    return embedding_near_dup_pairs_lsh(emb, threshold=0.95, dim=32)
 
 
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,29 +633,184 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_daily_counts": q_user_daily_counts,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "bpe_token_counts": q_bpe_token_counts,
-        # rows-only (hash kernels):
+        "min_occ_signatures": q_min_occ_signatures,
+        "variant_calls": q_variant_calls,
+        "variant_vcf": q_variant_vcf,
+        "simhash_signatures": q_simhash_signatures,
         "minhash_signatures": q_minhash_signatures,
-        "dedup_assignments": q_dedup_assignments,
-        "simhash_bands": q_simhash_bands,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
-        "containment_sketch": q_containment_sketch,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "cluster_rep_sketches": q_cluster_rep_sketches,
         "search_hits": q_search_hits,
         "sketch_json": q_sketch_json,
-        "two_tier_classify": q_two_tier_classify,
+        "dedup_assignments": q_dedup_assignments,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "cluster_rep_sketches": q_cluster_rep_sketches,
         "cluster_representatives": q_cluster_representatives,
+        "containment_sketch": q_containment_sketch,
+        # rows-only (LSH-randomized or stateful; pytest-covered instead):
+        "simhash_bands": q_simhash_bands,
+        "two_tier_classify": q_two_tier_classify,
     }
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles (identical output column names; omit non-SQL ops)
 
+# The driver runs oracles at sf=0.01 (TESTDATA.md: "t2 correctness (duckdb
+# oracle) uses sf0.01") — generated-literal oracles read that snapshot.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _variant_sql(k: int, w: int, tail: str) -> str:
+    """DuckDB replay of the full rkmh-call graft (operators/variants.py) —
+    every stage in substring space: depth counter, trailing floor-avg
+    window, 0.5/0.1/0.9 thresholds, SNP + deletion permutation, per-site
+    aggregation; ``tail`` picks the A9 aggregate or the S9 VCF lines."""
+    rot = ",".join(
+        f"('{o}','{a}')" for o in "aeot" for a in "aeot" if a != o
+    )
+    body = f"""
+WITH corpus AS (SELECT text FROM documents WHERE doc_id >= 5),
+refs AS (SELECT 'doc://' || doc_id::VARCHAR AS ref, text FROM documents WHERE doc_id < 5),
+depth AS (
+  SELECT substr(text, i, {k}) AS kmer, count(*) AS depth
+  FROM corpus, unnest(generate_series(1, greatest(length(text)-{k-1}, 0))) AS u(i)
+  GROUP BY 1
+),
+ref_pos AS (
+  SELECT ref, i-1 AS j, substr(text, i, {k}) AS kmer,
+         CASE WHEN i > 1 THEN substr(text, i-1, {k+1}) END AS d_alt
+  FROM refs, unnest(generate_series(1, greatest(length(text)-{k-1}, 0))) AS u(i)
+),
+pd AS (
+  SELECT ref_pos.*, coalesce(d.depth, 0) AS depth,
+         CAST(floor(avg(coalesce(d.depth, 0)) OVER (
+             PARTITION BY ref ORDER BY j
+             ROWS BETWEEN {w-1} PRECEDING AND CURRENT ROW)) AS BIGINT) AS avg_d
+  FROM ref_pos LEFT JOIN depth d USING (kmer)
+),
+trig AS (SELECT * FROM pd WHERE depth < 0.5 * avg_d),
+rot(orig, alt) AS (VALUES {rot}),
+snp_cand AS (
+  SELECT t.ref, t.j + ap.alt_pos + 1 AS pos,
+         substr(t.kmer, ap.alt_pos+1, 1) AS orig, r.alt, t.avg_d, t.depth,
+         substr(t.kmer, 1, ap.alt_pos) || r.alt
+           || substr(t.kmer, ap.alt_pos+2, {k}-ap.alt_pos-1) AS alt_kmer
+  FROM trig t, unnest(generate_series(0, {k-1})) AS ap(alt_pos)
+  JOIN rot r ON r.orig = substr(t.kmer, ap.alt_pos+1, 1)
+),
+snp AS (
+  SELECT c.ref, c.pos, c.orig, c.alt,
+         coalesce(d.depth, 0) AS alt_depth, c.avg_d, c.depth
+  FROM snp_cand c LEFT JOIN depth d ON d.kmer = c.alt_kmer
+  WHERE coalesce(d.depth, 0) >= 0.1 * c.avg_d AND coalesce(d.depth, 0) > c.depth
+),
+del_cand AS (
+  SELECT t.ref, t.j + ap.alt_pos + 1 AS pos,
+         substr(t.d_alt, ap.alt_pos+1, 1) AS orig, '-' AS alt,
+         t.avg_d, t.depth,
+         substr(t.d_alt, 1, ap.alt_pos)
+           || substr(t.d_alt, ap.alt_pos+2, {k}-ap.alt_pos) AS alt_kmer
+  FROM trig t, unnest(generate_series(1, {k})) AS ap(alt_pos)
+  WHERE t.d_alt IS NOT NULL
+),
+dels AS (
+  SELECT c.ref, c.pos, c.orig, c.alt,
+         coalesce(d.depth, 0) AS alt_depth, c.avg_d, c.depth
+  FROM del_cand c LEFT JOIN depth d ON d.kmer = c.alt_kmer
+  WHERE coalesce(d.depth, 0) > 0.9 * c.avg_d
+),
+calls AS (SELECT * FROM snp UNION ALL SELECT * FROM dels),
+agg AS (
+  SELECT ref, pos, orig, alt, count(*) AS kc, max(alt_depth) AS md,
+         max(avg_d) AS rd, max(depth) AS od
+  FROM calls GROUP BY ref, pos, orig, alt
+)
+"""
+    if tail == "agg":
+        return body + "SELECT * FROM agg"
+    return body + """
+SELECT ref || '\t' || pos::VARCHAR || '\t.\t' || orig || '\t' || alt
+       || '\t99\tPASS\tKC=' || kc::VARCHAR || ';MD=' || md::VARCHAR
+       || ';RD=' || rd::VARCHAR || ';OD=' || od::VARCHAR AS line
+FROM agg
+"""
+
+
+def _simhash_oracle_sql(_cache: dict = {}) -> str:
+    """VALUES-literal oracle for SimHash signatures: an INDEPENDENT
+    pure-Python XXH64 (validated on the public xxHash test vectors,
+    rkmh_spark/functions/xxhash.py) + per-bit vote, computed straight from
+    the sf0.01 parquet via DuckDB — no Spark anywhere in the derivation.
+    DuckDB has no xxhash64 function, so literals are the only spelling."""
+    if "sql" in _cache:
+        return _cache["sql"]
+    import duckdb
+
+    from rkmh_spark.functions.xxhash import xxh64
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text FROM read_parquet("
+        f"'{_ORACLE_SF_DIR}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    hcache: dict[str, int] = {}
+    out = []
+    for doc_id, text in rows:
+        votes = [0] * 64
+        for t in set((text or "").split(" ")):
+            if t == "":
+                continue
+            h = hcache.get(t)
+            if h is None:
+                h = xxh64(t.encode("utf-8"), seed=42) & 0xFFFFFFFFFFFFFFFF
+                hcache[t] = h
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sim = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sim |= 1 << b
+        if sim >= 1 << 63:
+            sim -= 1 << 64
+        out.append(f"({doc_id},{sim})")
+    _cache["sql"] = (
+        "SELECT CAST(col0 AS BIGINT) AS doc_id, CAST(col1 AS BIGINT) AS simhash "
+        f"FROM (VALUES {','.join(out)}) t(col0, col1)"
+    )
+    return _cache["sql"]
+
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+# planted near-dup embedding table — must mirror _planted_embeddings exactly
+# (cast to DOUBLE first, then +0.02 per component, ids +100000, vec_id < 25)
+_EMB_PLANTED_CTE = """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            planted AS (
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(v, x -> x + 0.02) AS v
+                FROM base WHERE vec_id < 25
+            ),
+            e AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+"""
+
+_EMB_DUP_SQL = f"""
+            {_EMB_PLANTED_CTE}
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from rkmh_spark import oracle_literals as _lit
+
     sw = {
         "de": "['der','die','und','das','ist']",
         "en": "['the','and','of','to','in']",
@@ -554,9 +831,14 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "exact_dup_groups": """
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+            )
             SELECT md5(text) AS text_md5, count(*) AS n_docs,
                    min(doc_id) AS keep_doc_id
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM docs2 GROUP BY md5(text) HAVING count(*) > 1
         """,
         "token_docfreq": f"""
             SELECT token, count(*) AS df FROM (
@@ -607,10 +889,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
         """,
         "unique_tokens_per_lang": f"""
-            SELECT token, min(lang) AS lang FROM (
-                SELECT DISTINCT lang, unnest(list_distinct({_TOKS})) AS token
-                FROM documents
-            ) GROUP BY token HAVING count(DISTINCT lang) = 1
+            WITH toks AS (SELECT lang, {_TOKS} AS tk FROM documents),
+            grams AS (
+                SELECT DISTINCT lang, tk[i] || ' ' || tk[i+1] AS bigram
+                FROM toks, unnest(generate_series(1, greatest(len(tk)-1, 0))) AS u(i)
+            )
+            SELECT bigram, min(lang) AS lang FROM grams
+            GROUP BY bigram HAVING count(DISTINCT lang) = 1
         """,
         "distinct_tokens_per_source": f"""
             SELECT source, count(DISTINCT tok) AS n_distinct_tokens FROM (
@@ -691,7 +976,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
         """,
         "event_type_prevalence": """
             SELECT event_type, n, round(n * 1.0 / sum(n) OVER (), 6) AS share
@@ -709,16 +995,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY user_id, substr(ts::VARCHAR, 1, 10)
         """,
-        "embedding_dup_pairs": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.v, b.v)
-                         / (sqrt(list_dot_product(a.v, a.v))
-                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.v, b.v)
-                        / (sqrt(list_dot_product(a.v, a.v))
-                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+        "embedding_dup_pairs": _EMB_DUP_SQL,
+        # deterministic full LSH capture (verified: all 25 planted pairs
+        # collide in >=1 of the 4 seeded tables) → same oracle as exact
+        "embedding_dup_pairs_lsh": _EMB_DUP_SQL,
+        "embedding_lsh_topk": f"""
+            {_EMB_PLANTED_CTE},
+            scored AS (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       round(list_dot_product(q.v, n.v)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+                FROM e q JOIN e n ON q.vec_id <> n.vec_id
+                WHERE q.vec_id >= 100000
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS rank FROM scored
+            ) WHERE rank <= 1
         """,
         "bpe_token_counts": """
             SELECT doc_id,
@@ -726,4 +1021,67 @@ def oracle_sql() -> dict[str, str]:
                    AS n_bpe_tokens
             FROM documents
         """,
+        # --- r2 additions -------------------------------------------------
+        "minhash_signatures": """
+            -- bottom-s MULTISET sketch: one entry per shingle position
+            -- (dups kept), so len = min(s, positions); zero-hash sentinels
+            -- have P=2^-64 and provably do not occur on this corpus
+            SELECT 'doc://' || doc_id::VARCHAR AS url,
+                   least(64, greatest(length(text) - 7, 0)) AS sketch_len,
+                   greatest(length(text) - 7, 0) AS n_shingles
+            FROM documents
+        """,
+        "min_occ_signatures": """
+            -- F4 replayed in SUBSTRING space: hash<->k-gram is 1:1 here
+            WITH pos AS (
+                SELECT doc_id, substr(text, i, 8) AS g
+                FROM documents,
+                     unnest(generate_series(1, greatest(length(text)-7, 0))) AS u(i)
+            ),
+            cnt AS (SELECT g, count(*) AS c FROM pos GROUP BY g)
+            SELECT 'doc://' || doc_id::VARCHAR AS url,
+                   least(64, count(*) FILTER (WHERE c >= 2)) AS sketch_len,
+                   count(*) AS n_shingles
+            FROM pos JOIN cnt USING (g)
+            GROUP BY doc_id
+        """,
+        "sketch_json": """
+            SELECT 'doc://' || doc_id::VARCHAR AS name,
+                   CAST(8 AS INTEGER) AS kmer,
+                   'utf8-bytes' AS alphabet,
+                   'MurmurHash3_x64_128' AS hashType,
+                   CAST(64 AS INTEGER) AS hashBits,
+                   CAST(42 AS INTEGER) AS hashSeed,
+                   false AS canonical,
+                   CAST(64 AS INTEGER) AS sketchSize,
+                   greatest(length(text) - 7, 0) AS seqLen
+            FROM documents
+        """,
+        "search_hits": """
+            WITH dic AS (
+                SELECT DISTINCT substr(text, i, 8) AS g
+                FROM documents,
+                     unnest(generate_series(1, greatest(length(text)-7, 0))) AS u(i)
+                WHERE doc_id = 0
+            ),
+            docg AS (
+                SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+                FROM documents,
+                     unnest(generate_series(1, greatest(length(text)-7, 0))) AS u(i)
+            )
+            SELECT 'doc://' || doc_id::VARCHAR AS url,
+                   count(*) AS n_hits
+            FROM docg JOIN dic USING (g)
+            GROUP BY doc_id
+        """,
+        "variant_calls": _variant_sql(k=6, w=10, tail="agg"),
+        "variant_vcf": _variant_sql(k=6, w=10, tail="vcf"),
+        "simhash_signatures": _simhash_oracle_sql(),
+        # NumPy-reference-loop literal oracles (rkmh_spark/oracle_literals
+        # docstring explains the derivation + independence caveat):
+        "dedup_assignments": _lit.dedup_assignments_sql(),
+        "cluster_representatives": _lit.cluster_representatives_sql(),
+        "cluster_rep_sketches": _lit.cluster_rep_sketches_sql(),
+        "containment_sketch": _lit.containment_sketch_sql(threshold=0.9),
+        "winnow_fingerprints": _lit.winnow_fingerprints_sql(k=8, w=4),
     }

@@ -45,6 +45,8 @@ def main() -> None:
         "brand_revenue",
         "rolling_avg",
         "top_orders_per_customer",
+        "variant_calls",          # r2: rkmh-call graft (P6/A9/F7)
+        "min_occ_signatures",     # r2: F4 relational filtered sketch
     ]
 
     # JVM+python-worker warm-up on the tiny sf so per-query times are real

@@ -18,7 +18,10 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class DedupConfig:
     # --- sketching (reference parity knobs) ---
-    k: int = 16                 # shingle size in BYTES of utf-8 text
+    # k: shingle size in BYTES of utf-8 text; a TUPLE enables the
+    # reference's multi-k mode (-k 12 -k 14: per-k hash arrays are
+    # concatenated into one multiset before sketching, rkmh.cpp:296-303)
+    k: int | tuple[int, ...] = 16
     sketch_size: int = 1000     # bottom-s sketch size ("-s" in rkmh)
     hash_seed: int = 42         # murmur3 seed (src/rkmh.cpp:493-497)
     canonical: bool = False     # fwd-hash only for text (delta vs reference)

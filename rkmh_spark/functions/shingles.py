@@ -34,14 +34,29 @@ def shingle_matrix(text: str, k: int) -> np.ndarray:
     return sliding_window_view(raw, k)
 
 
-def shingle_hashes(text: str, k: int, seed: int = 42) -> np.ndarray:
+def shingle_hashes(
+    text: str, k: int | tuple[int, ...], seed: int = 42
+) -> np.ndarray:
     """(N,) uint64 hash per shingle position (rkmh calc_hashes analog).
 
     Position-aligned like the reference's hash arrays; the reference writes
     sentinel 0 for invalid k-mers — text has no invalid shingles, but a
     genuine hash value of 0 is still dropped at sketch time for parity.
+
+    ``k`` may be a tuple of sizes: the reference's multi-k mode
+    (``-k 12 -k 14``) hashes every k size and CONCATENATES the per-k hash
+    arrays into one multiset before sketching
+    (/root/reference/src/rkmh.cpp:296-303 — calc_hashes loops kmer sizes
+    and appends).
     """
-    return murmur3_x64_128_low64(shingle_matrix(text, k), seed=seed)
+    if isinstance(k, int):
+        return murmur3_x64_128_low64(shingle_matrix(text, k), seed=seed)
+    parts = [
+        murmur3_x64_128_low64(shingle_matrix(text, kk), seed=seed) for kk in k
+    ]
+    return (
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+    )
 
 
 def bottom_s_sketch(hashes: np.ndarray, s: int) -> np.ndarray:
@@ -92,6 +107,12 @@ def sketch_texts_batch(
     whose allocation/page-fault churn made the stage 7x slower than the
     same work in cache-sized chunks (measured at 48k x 4KB docs).
 
+    ``k`` may be a tuple (reference multi-k, rkmh.cpp:296-303): per-k hash
+    arrays are concatenated per document before the sort/bottom-s. The
+    multi-k path hashes per document (not per mega-chunk) — k widths
+    differ so the matrices cannot vstack; multi-k is a config corner, the
+    single-k fast path is untouched.
+
     Returns (sketches: list[int64 array], minhashes: list[int64]|None,
     n_shingles: int64 array).
     """
@@ -100,6 +121,18 @@ def sketch_texts_batch(
     counts = np.empty(n, dtype=np.int64)
     sketches: list = [empty] * n
     minhashes = [empty] * n if num_bins is not None else None
+
+    if not isinstance(k, int):
+        for i, t in enumerate(texts):
+            h = shingle_hashes(t if t is not None else "", k, seed)
+            counts[i] = h.size
+            if drop_hashes is not None and drop_hashes.size and h.size:
+                h = h[~np.isin(h, drop_hashes)]
+            hs = np.sort(h[h != 0])
+            sketches[i] = hs[:s].view(np.int64)
+            if minhashes is not None:
+                minhashes[i] = oph_minhash(hs, num_bins)
+        return sketches, minhashes, counts
 
     chunk_mats: list = []
     chunk_docs: list = []  # (doc_index, n_shingles)

@@ -29,9 +29,10 @@ from rkmh_spark.config import DedupConfig
 
 def sketch_json(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """signatures → one JSON-ready row per doc with rkmh-compatible metadata."""
+    k_field = cfg.k if isinstance(cfg.k, int) else ",".join(map(str, cfg.k))
     return signatures.select(
         F.col("url").alias("name"),
-        F.lit(cfg.k).alias("kmer"),
+        F.lit(k_field).alias("kmer"),
         F.lit("utf8-bytes").alias("alphabet"),
         F.lit("MurmurHash3_x64_128").alias("hashType"),
         F.lit(64).alias("hashBits"),

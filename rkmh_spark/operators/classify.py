@@ -78,26 +78,38 @@ def classify_pages(
         scored.withColumn("rk", F.row_number().over(w))
         .withColumn("second_shared", F.lead("shared", 1).over(w))
         .where(F.col("rk") == 1)
+        .select("url", "ref", "shared", "second_shared", "r_len")
     )
-    return ranked.select(
+
+    # The reference emits a record for EVERY read — reads matching nothing
+    # come out with FAIL:MATCHES, they do not vanish (rkmh.cpp:887-898). In
+    # the LSH path a query whose bands collide with no reference produces
+    # no candidate rows, so left-join the winners back onto all query urls
+    # and let shared default to 0 (ADVICE r1).
+    base = query_sigs.select("url", F.size("sketch").alias("q_len"))
+    joined = base.join(ranked, "url", "left")
+    shared = F.coalesce("shared", F.lit(0))
+    second = F.coalesce("second_shared", F.lit(0))
+    return joined.select(
         "url",
-        F.col("ref").alias("best_ref"),
-        "shared",
-        F.coalesce("second_shared", F.lit(0)).alias("second_shared"),
+        F.col("ref").alias("best_ref"),  # NULL when nothing collided
+        shared.alias("shared"),
+        second.alias("second_shared"),
         F.round(
-            F.col("shared")
+            shared
             / F.greatest(  # empty sketch (fail_depth) → denom 1, shared 0
-                F.least(F.lit(cfg.sketch_size), F.col("q_len"), F.col("r_len")),
+                F.least(
+                    F.lit(cfg.sketch_size),
+                    F.col("q_len"),
+                    F.coalesce("r_len", F.lit(cfg.sketch_size)),
+                ),
                 F.lit(1),
             ),
             6,
         ).alias("est_jaccard"),
         (F.col("q_len") <= F.lit(cfg.min_matches)).alias("fail_depth"),
-        (F.col("shared") < F.lit(cfg.min_matches)).alias("fail_matches"),
-        (
-            (F.col("shared") - F.coalesce("second_shared", F.lit(0)))
-            <= F.lit(cfg.min_diff)
-        ).alias("fail_diff"),
+        (shared < F.lit(cfg.min_matches)).alias("fail_matches"),
+        ((shared - second) <= F.lit(cfg.min_diff)).alias("fail_diff"),
     )
 
 

@@ -31,7 +31,8 @@ def connected_components(
     max_iterations: int = 20,
     src_col: str = "url_a",
     dst_col: str = "url_b",
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 250_000,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """edges(url_a, url_b) → labels(node, label); label = min url in component.
 
@@ -42,12 +43,18 @@ def connected_components(
     structure fits trivially in driver memory, and the distributed loop's
     per-round job latency (2 shuffles + checkpoint + fingerprint, ~1s fixed
     each on an idle cluster) dominates — so small edge sets run a local
-    union-find in ONE collect. Past the threshold (the 10^12-doc regime)
-    the iterative hash-join loop runs. Both produce identical min-label
-    results; the threshold only moves the serial-latency/parallelism
-    tradeoff.
+    union-find in ONE Arrow collect (urls dictionary-encoded to ints on
+    the driver, so 250k edges is a few MB, not hundreds). Past the
+    threshold (the 10^12-doc regime) the iterative hash-join loop runs.
+    Both produce identical min-label results; the threshold only moves the
+    serial-latency/parallelism tradeoff.
+
+    ``n_edges``: pass the edge count when the caller has already
+    materialized the edge relation (e.g. dedup_pages counts its persisted
+    ``pairs``) — saves the extra ``limit().count()`` job here.
     """
-    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges is None:
+        n_edges = edges.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
         return _driver_union_find(edges, src_col, dst_col)
 
@@ -87,36 +94,62 @@ def connected_components(
         )
         cur = _sig(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    else:
+        converged = False
 
     sym.unpersist()
+    if not converged:
+        # A component with diameter > max_iterations would get split labels;
+        # surface it instead of returning silently-partial clusters
+        # (ADVICE r1). Near-dup graphs are low-diameter, so this firing
+        # means either pathological chaining or a mis-set iteration cap.
+        import warnings
+
+        warnings.warn(
+            "connected_components: hash-min propagation did NOT converge "
+            f"within max_iterations={max_iterations}; labels may split "
+            "components. Raise max_cc_iterations.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
 def _driver_union_find(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
-    """Small-graph fast path: exact union-find on collected edges."""
-    rows = edges.select(src_col, dst_col).collect()
-    parent: dict[str, str] = {}
+    """Small-graph fast path: exact union-find on Arrow-collected edges.
 
-    def find(x: str) -> str:
+    Urls are dictionary-encoded to dense ints sorted lexicographically, so
+    the min-int root IS the min-url label (matching the distributed loop's
+    min-label rule) and the union-find runs over two int arrays — no
+    per-edge Python string objects.
+    """
+    tbl = edges.select(src_col, dst_col).toArrow()
+    src = tbl.column(0).to_pylist()
+    dst = tbl.column(1).to_pylist()
+    names = sorted(set(src) | set(dst))
+    idx = {u: i for i, u in enumerate(names)}
+    parent = list(range(len(names)))
+
+    def find(x: int) -> int:
         root = x
-        while parent.get(root, root) != root:
+        while parent[root] != root:
             root = parent[root]
-        while parent.get(x, x) != x:  # path compression
+        while parent[x] != x:  # path compression
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        a, b = find(r[0]), find(r[1])
+    for s, d in zip(src, dst):
+        a, b = find(idx[s]), find(idx[d])
         if a != b:
             if a < b:
                 parent[b] = a
             else:
                 parent[a] = b
 
-    nodes = {u for r in rows for u in (r[0], r[1])}
-    out = [(n, find(n)) for n in nodes]
+    out = [(names[i], names[find(i)]) for i in range(len(names))]
     spark = edges.sparkSession
     from pyspark.sql import types as T
 

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from rkmh_spark.config import DedupConfig
+
 
 @pandas_udf(T.DoubleType())
 def _containment_est(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -67,23 +69,37 @@ def containment_candidates(
     rank in A's order is Geometric(f) for containment fraction f, so B's
     bottom anchor lands in A's bottom-m with P = 1-(1-f)^m (m=16, f=0.2 →
     0.97). Docs sharing ANY bottom-m hash become candidates; the census/
-    cap guard mirrors the LSH bucket handling.
+    cap/salt handling mirrors the LSH bucket path — hot anchors are NOT
+    dropped (boilerplate-heavy corpora put the most-contained pages in
+    exactly those anchors) but sharded through the salted triangle join.
     """
+    from pyspark.sql import Window
+
+    from rkmh_spark.operators.lsh import _salted_triangle_pairs
+
     anchors = signatures.select(
         "url", F.explode(F.slice("sketch", 1, n_anchors)).alias("anchor")
     )
-    census = anchors.groupBy("anchor").agg(F.count("*").alias("sz"))
-    eligible = anchors.join(
-        census.where((F.col("sz") >= 2) & (F.col("sz") <= cfg.bucket_cap)),
-        "anchor",
-    ).drop("sz")
-    a, b = eligible.alias("a"), eligible.alias("b")
-    return (
+    w = Window.partitionBy("anchor")
+    sized = (
+        anchors.withColumn("sz", F.count("*").over(w))
+        .where(F.col("sz") >= 2)
+        .persist()
+    )
+    normal = sized.where(F.col("sz") <= cfg.bucket_cap)
+    a, b = normal.alias("a"), normal.alias("b")
+    normal_pairs = (
         a.join(b, "anchor")
         .where(F.col("a.url") < F.col("b.url"))
         .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
-        .distinct()
     )
+    hot = sized.where(F.col("sz") > cfg.bucket_cap)
+    hot_pairs = _salted_triangle_pairs(hot, cfg.bucket_cap, keys=["anchor"])
+    pairs = (
+        normal_pairs.unionByName(hot_pairs).distinct().localCheckpoint(eager=True)
+    )
+    sized.unpersist()
+    return pairs
 
 
 def containment_pairs(

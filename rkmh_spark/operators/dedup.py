@@ -18,7 +18,10 @@ from rkmh_spark.config import DedupConfig
 from rkmh_spark.operators.components import connected_components
 from rkmh_spark.operators.docfreq import hot_shingles, shingle_doc_frequency
 from rkmh_spark.operators.lsh import band_buckets, candidate_pairs
-from rkmh_spark.operators.signatures import compute_signatures
+from rkmh_spark.operators.signatures import (
+    compute_signatures,
+    compute_signatures_min_occ,
+)
 from rkmh_spark.operators.verify import brute_force_pairs, verify_pairs
 
 
@@ -56,22 +59,32 @@ def dedup_pages(
     asymmetric dups become extra edges for clustering — catches
     truncation/mirror-with-chrome dups whose symmetric Jaccard is low.
     """
-    drop = None
-    if cfg.max_doc_freq is not None:
-        dfreq = shingle_doc_frequency(pages, cfg)
-        drop = hot_shingles(dfreq, cfg.max_doc_freq)
-
-    sigs = compute_signatures(pages, cfg, drop_hashes=drop).persist()
+    if cfg.min_occ is not None:
+        # F4 (rkmh -M): global-occurrence filter — relational rebuild (the
+        # keep-set is unbroadcastable at scale); composes -I when both set
+        sigs = compute_signatures_min_occ(pages, cfg)
+    else:
+        drop = None
+        if cfg.max_doc_freq is not None:
+            dfreq = shingle_doc_frequency(pages, cfg)
+            drop = hot_shingles(dfreq, cfg.max_doc_freq)
+        sigs = compute_signatures(pages, cfg, drop_hashes=drop)
+    sigs = sigs.persist()
 
     if use_lsh:
         buckets = band_buckets(sigs, cfg)
-        cands = candidate_pairs(buckets, cfg).persist()
+        # candidate_pairs materializes (localCheckpoint) internally — safe
+        # to reuse across the verify + containment branches, no persist leak
+        cands = candidate_pairs(buckets, cfg)
         pairs = verify_pairs(cands, sigs, cfg)
     else:
         cands = None
         pairs = brute_force_pairs(sigs, cfg)
 
+    # ONE count job both materializes the persisted pairs and hands the
+    # edge count to connected_components (skips its limit().count() job)
     pairs = pairs.persist()
+    n_pairs = pairs.count()
     edges = pairs.select("url_a", "url_b")
     if containment_threshold is not None and cands is not None:
         from rkmh_spark.operators.containment import (
@@ -90,8 +103,9 @@ def dedup_pages(
         edges = edges.unionByName(
             confirmed.select("url_a", "url_b")
         ).distinct()
+        n_pairs = None  # containment edges added — count no longer known
 
-    labels = connected_components(edges, cfg.max_cc_iterations)
+    labels = connected_components(edges, cfg.max_cc_iterations, n_edges=n_pairs)
     assignments = (
         pages.select("url")
         .join(labels.withColumnRenamed("node", "url"), "url", "left")

@@ -44,10 +44,15 @@ def token_ngrams(documents: DataFrame, n: int = 3, text_col: str = "text") -> Da
     concat_ws, all JVM-side array functions (no Python).
     """
     toks = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    cnt = F.size(toks) - (n - 1)
+    grams = F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+        # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty
+    ).otherwise(F.array().cast("array<string>"))
     return documents.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("ngram")
     )
@@ -58,17 +63,39 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
+    max_gram_df: int = 1000,
 ) -> DataFrame:
-    """Doc pairs with distinct-token-n-gram Jaccard >= threshold.
+    """Doc pairs with distinct-token-n-gram Jaccard >= threshold, computed
+    over the gram space EXCLUDING grams present in more than
+    ``max_gram_df`` documents.
 
-    explode → self-equi-join on ngram → groupBy pair → |∩| ; |∪| by
-    inclusion-exclusion from per-doc gram counts (broadcast-joined).
+    explode → [df census, drop hot grams] → self-equi-join on ngram →
+    groupBy pair → |∩| ; |∪| by inclusion-exclusion from per-doc counts
+    of the SAME filtered gram space.
+
+    The hot-gram drop is the reference's own ``-I`` frequency defense
+    (/root/reference/src/rkmh.cpp:835-836) applied to the relational
+    spelling: without it, one boilerplate n-gram present in d documents
+    lands d rows on ONE join key and emits O(d²) rows in one task —
+    at 10⁶+ docs that single key is the job. A gram in >max_gram_df docs
+    is boilerplate, not evidence of duplication; dropping it from both
+    the intersection and the union keeps Jaccard well-defined. The census
+    is a window count — one shuffle on the gram key, shared with the join.
 
     The gram relation feeds three plan branches (sizes + both join sides);
     without a persist Spark recomputes the generation expression per
     branch — 4× the stage cost measured at sf0.1.
     """
-    grams = token_ngrams(documents, n, text_col).persist()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ngram")
+    grams = (
+        token_ngrams(documents, n, text_col)
+        .withColumn("gram_df", F.count("*").over(w))
+        .where(F.col("gram_df") <= max_gram_df)
+        .drop("gram_df")
+        .persist()
+    )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     shared = (
@@ -123,9 +150,24 @@ def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
     return votes.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_band_candidates(signatures: DataFrame) -> DataFrame:
+def simhash_band_candidates(
+    signatures: DataFrame, bucket_cap: int = 200
+) -> DataFrame:
     """Pairs colliding on any 16-bit quarter of the SimHash (≤3-bit
-    Hamming neighbors always share a quarter, by pigeonhole)."""
+    Hamming neighbors always share a quarter, by pigeonhole).
+
+    Skew guard: 16-bit band keys mean an expected bucket size of
+    n/65536 per band — at 10⁹ docs that is ~15k docs per bucket and a
+    naive self-join puts ~10⁸ pair rows on ONE key. Same defense as the
+    MinHash-LSH path: window census on the (band, key) bucket, size-1
+    buckets pruned, ≤cap buckets take the plain join, hot buckets go
+    through the salted triangle join (every pair still produced, spread
+    over ~(sz/cap)² tasks).
+    """
+    from pyspark.sql import Window
+
+    from rkmh_spark.operators.lsh import _salted_triangle_pairs
+
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -142,12 +184,32 @@ def simhash_band_candidates(signatures: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+
+    w = Window.partitionBy("band", "key")
+    sized = (
+        banded.withColumn("sz", F.count("*").over(w))
+        .where(F.col("sz") >= 2)
+        .persist()
+    )
+    normal = sized.where(F.col("sz") <= bucket_cap)
+    a, b = normal.alias("a"), normal.alias("b")
+    normal_pairs = (
         a.join(b, ["band", "key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    hot = sized.where(F.col("sz") > bucket_cap)
+    hot_pairs = _salted_triangle_pairs(
+        hot,
+        bucket_cap,
+        keys=["band", "key"],
+        node_col="doc_id",
+        out_cols=("doc_a", "doc_b"),
+    )
+    pairs = (
+        normal_pairs.unionByName(hot_pairs).distinct().localCheckpoint(eager=True)
+    )
+    sized.unpersist()
+    return pairs

@@ -53,6 +53,54 @@ def shingle_doc_frequency(
     return exploded.groupBy("hash").agg(F.count("*").alias("df"))
 
 
+def hash_depth_table(
+    pages: DataFrame, cfg: DedupConfig, text_col: str = "text"
+) -> DataFrame:
+    """→ DataFrame(hash: long, depth: long) — TOTAL occurrences per shingle.
+
+    Reference parity: the ``-M``/``call`` global counter counts every hash
+    occurrence across all reads, with multiplicity (read_hash_counter /
+    read_hash_to_depth, /root/reference/src/rkmh.cpp:1256-1267,1784), unlike
+    the distinct-document ``df`` of shingle_doc_frequency. The kernel emits
+    per-doc (hash, cnt) pairs — the exploded relation is bounded by
+    Σ distinct shingles/doc, and the shuffle carries counts, not rows.
+    """
+    k, seed = cfg.k, cfg.hash_seed
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, cs = [], []
+            for t in pdf[text_col].tolist():
+                h = shingle_hashes(t if t is not None else "", k, seed)
+                h = h[h != 0]
+                if h.size:
+                    vals, cnts = np.unique(h, return_counts=True)
+                    hs.append(vals.view(np.int64))
+                    cs.append(cnts.astype(np.int64))
+            if hs:
+                yield pd.DataFrame(
+                    {"hash": np.concatenate(hs), "cnt": np.concatenate(cs)}
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "hash": np.empty(0, dtype=np.int64),
+                        "cnt": np.empty(0, dtype=np.int64),
+                    }
+                )
+
+    exploded = pages.select(text_col).mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("hash", T.LongType(), False),
+                T.StructField("cnt", T.LongType(), False),
+            ]
+        ),
+    )
+    return exploded.groupBy("hash").agg(F.sum("cnt").alias("depth"))
+
+
 def hot_shingles(doc_freq: DataFrame, max_doc_freq: int) -> np.ndarray:
     """Hashes present in more than ``max_doc_freq`` documents (rkmh -I analog).
 

@@ -46,12 +46,21 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+def candidate_pairs(
+    buckets: DataFrame, cfg: DedupConfig, materialize: bool = True
+) -> DataFrame:
     """buckets → distinct (url_a, url_b) with url_a < url_b.
 
     Census first: size-1 buckets are pruned before any join (most buckets,
     at web scale); 2..cap buckets take the plain self-equi-join; > cap
     buckets take the salted triangle join.
+
+    ``materialize=True`` (default): the pair set is localCheckpointed
+    eagerly and the intermediate ``sized`` census relation is unpersisted
+    before returning — the persist is needed because both pair branches
+    read it, but leaving it cached leaked one relation per call in the
+    streaming loop (ADVICE r1). The returned DataFrame is already
+    computed, lineage-free, and safe to reuse across plan branches.
     """
     # bucket sizes via window count: ONE shuffle on the bucket key versus
     # the agg-then-join census spelling (two), and the sized relation is
@@ -76,10 +85,20 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     hot = sized.where(F.col("sz") > cfg.bucket_cap)
     hot_pairs = _salted_triangle_pairs(hot, cfg.bucket_cap)
 
-    return normal_pairs.unionByName(hot_pairs).distinct()
+    pairs = normal_pairs.unionByName(hot_pairs).distinct()
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
+        sized.unpersist()
+    return pairs
 
 
-def _salted_triangle_pairs(hot: DataFrame, cap: int) -> DataFrame:
+def _salted_triangle_pairs(
+    hot: DataFrame,
+    cap: int,
+    keys: list[str] | None = None,
+    node_col: str = "url",
+    out_cols: tuple[str, str] = ("url_a", "url_b"),
+) -> DataFrame:
     """Cover all intra-bucket pairs of hot buckets without one giant task.
 
     Each member gets shard = xxhash64(url) mod m (m = ceil(sz/cap),
@@ -88,33 +107,39 @@ def _salted_triangle_pairs(hot: DataFrame, cap: int) -> DataFrame:
     replicates each member to keys (i=shard, j ∈ [shard, m)), the right to
     keys (i ∈ [0, shard], j=shard); the equi-join on (bucket, i, j) then
     emits each member pair exactly once per bucket.
+
+    ``keys``: the bucket-key columns (default: LSH band key). The
+    containment anchor pass reuses this with keys=["anchor"].
     """
+    if keys is None:
+        keys = _BUCKET_KEY
+    node = node_col
     hot = hot.withColumn(
         "m", F.ceil(F.col("sz") / F.lit(cap)).cast("long")
-    ).withColumn("shard", F.pmod(F.xxhash64("url"), F.col("m")))
+    ).withColumn("shard", F.pmod(F.xxhash64(node), F.col("m")))
 
     left = hot.select(
-        *_BUCKET_KEY,
-        F.col("url"),
+        *keys,
+        F.col(node),
         F.col("shard").alias("i"),
         F.explode(F.sequence(F.col("shard"), F.col("m") - 1)).alias("j"),
     )
     right = hot.select(
-        *_BUCKET_KEY,
-        F.col("url"),
+        *keys,
+        F.col(node),
         F.explode(F.sequence(F.lit(0).cast("long"), F.col("shard"))).alias("i"),
         F.col("shard").alias("j"),
     )
-    # NB: cannot filter a.url < b.url here — a pair whose smaller url sits
-    # in the HIGHER shard only ever joins in the (bigger, smaller)
+    # NB: cannot filter a.node < b.node here — a pair whose smaller node
+    # sits in the HIGHER shard only ever joins in the (bigger, smaller)
     # orientation (left side carries shard i, right side shard j, i <= j).
-    # Normalize with least/greatest instead; candidate_pairs dedups.
+    # Normalize with least/greatest instead; callers dedup.
     return (
         left.alias("a")
-        .join(right.alias("b"), _BUCKET_KEY + ["i", "j"])
-        .where(F.col("a.url") != F.col("b.url"))
+        .join(right.alias("b"), keys + ["i", "j"])
+        .where(F.col(f"a.{node}") != F.col(f"b.{node}"))
         .select(
-            F.least(F.col("a.url"), F.col("b.url")).alias("url_a"),
-            F.greatest(F.col("a.url"), F.col("b.url")).alias("url_b"),
+            F.least(F.col(f"a.{node}"), F.col(f"b.{node}")).alias(out_cols[0]),
+            F.greatest(F.col(f"a.{node}"), F.col(f"b.{node}")).alias(out_cols[1]),
         )
     )

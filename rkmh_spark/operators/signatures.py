@@ -33,11 +33,15 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from rkmh_spark.config import DedupConfig
-from rkmh_spark.functions.shingles import sketch_texts_batch
+from rkmh_spark.functions.shingles import (
+    oph_minhash,
+    shingle_hashes,
+    sketch_texts_batch,
+)
 
 
 def signatures_schema() -> T.StructType:
@@ -84,3 +88,112 @@ def compute_signatures(
             )
 
     return narrow.mapInPandas(kernel, schema=signatures_schema())
+
+
+def compute_signatures_min_occ(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    depth: DataFrame | None = None,
+    doc_freq: DataFrame | None = None,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """F4 (rkmh ``-M min_kmer_occ``): keep a hash iff its GLOBAL occurrence
+    count >= cfg.min_occ, then bottom-s sketch the survivors
+    (/root/reference/src/rkmh.cpp:1256-1267,1363-1374).
+
+    The keep-set at web scale is every shingle seen >= M times — far too
+    large to broadcast (the opposite regime from the hot-shingle drop-set,
+    which is small by construction). So this path is relational:
+
+      pages → per-doc distinct (url, hash, cnt)      [mapInPandas]
+            ⋈ depth(hash, depth)                      [shuffle on hash]
+            → groupBy(url) rebuild sketch + OPH       [applyInPandas]
+
+    Both shuffles are bounded by Σ distinct shingles per doc (counts
+    travel, not occurrences). ``depth`` defaults to hash_depth_table over
+    the same pages; pass a precomputed one to share it with the variant
+    caller. When cfg.max_doc_freq is also set, ``doc_freq`` (distinct-doc
+    counts, rkmh ``-I``) is joined too and hot shingles are dropped before
+    sketching — the two reference filters compose exactly as in the
+    reference's doReadDepth branch.
+    """
+    if cfg.min_occ is None:
+        raise ValueError("compute_signatures_min_occ requires cfg.min_occ")
+    from rkmh_spark.operators.docfreq import hash_depth_table, shingle_doc_frequency
+
+    k, s, seed = cfg.k, cfg.sketch_size, cfg.hash_seed
+    num_perms = cfg.num_bands * cfg.band_rows
+    min_occ = int(cfg.min_occ)
+
+    if depth is None:
+        depth = hash_depth_table(pages, cfg, text_col=text_col)
+
+    def explode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, hs, cs = [], [], []
+            for u, t in zip(pdf[url_col].tolist(), pdf[text_col].tolist()):
+                h = shingle_hashes(t if t is not None else "", k, seed)
+                h = h[h != 0]
+                if h.size:
+                    vals, cnts = np.unique(h, return_counts=True)
+                else:  # keep the doc visible downstream (empty-sketch row)
+                    vals = np.zeros(1, dtype=np.uint64)
+                    cnts = np.zeros(1, dtype=np.int64)
+                urls.append(np.repeat(u, vals.size))
+                hs.append(vals.view(np.int64))
+                cs.append(cnts)
+            yield pd.DataFrame(
+                {
+                    "url": np.concatenate(urls) if urls else [],
+                    "hash": np.concatenate(hs) if hs else [],
+                    "cnt": np.concatenate(cs) if cs else [],
+                }
+            )
+
+    per_doc = pages.select(url_col, text_col).mapInPandas(
+        explode_kernel,
+        schema=T.StructType(
+            [
+                T.StructField("url", T.StringType(), False),
+                T.StructField("hash", T.LongType(), False),
+                T.StructField("cnt", T.LongType(), False),
+            ]
+        ),
+    )
+    # inner join loses nothing: every real hash of every doc appears in the
+    # depth table (the doc itself contributed); the cnt=0 placeholder row
+    # of empty docs left-joins to NULL depth → keep=false, cnt sum 0.
+    joined = per_doc.join(depth, "hash", "left").withColumn(
+        "keep", F.coalesce(F.col("depth"), F.lit(0)) >= F.lit(min_occ)
+    )
+    if cfg.max_doc_freq is not None:
+        if doc_freq is None:
+            doc_freq = shingle_doc_frequency(pages, cfg, text_col=text_col)
+        joined = joined.join(doc_freq, "hash", "left").withColumn(
+            "keep",
+            F.col("keep")
+            & (F.coalesce(F.col("df"), F.lit(0)) <= F.lit(cfg.max_doc_freq)),
+        )
+    narrow = joined.select("url", "hash", "cnt", "keep")
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        url = pdf["url"].iloc[0]
+        n_shingles = int(pdf["cnt"].sum())
+        kept = pdf[pdf["keep"]]
+        vals = kept["hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        cnts = kept["cnt"].to_numpy(dtype=np.int64)
+        order = np.argsort(vals)  # uint64 order BEFORE the int64 bit-cast
+        expanded = np.repeat(vals[order], cnts[order])
+        sketch = expanded[:s].view(np.int64)
+        minhash = oph_minhash(vals[order], num_perms)
+        return pd.DataFrame(
+            {
+                "url": [url],
+                "sketch": [sketch],
+                "minhash": [minhash],
+                "n_shingles": [n_shingles],
+            }
+        )
+
+    return narrow.groupBy("url").applyInPandas(rebuild, schema=signatures_schema())

@@ -132,7 +132,7 @@ def embedding_near_dup_pairs(
 def embedding_near_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    dim: int = 32,
+    dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
@@ -174,27 +174,60 @@ def embedding_near_dup_pairs_lsh(
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 10,
-    dim: int = 32,
-    n_planes: int = 12,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: candidates within hyperplane buckets,
-    exact cosine re-rank inside each bucket."""
-    b = hyperplane_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
+    """Approximate top-k: candidates from multi-table hyperplane buckets,
+    DISTINCT (query, neighbor) pairs (a pair colliding in several tables
+    must rank once, not once per table), exact cosine re-rank.
+
+    ``queries``: optional restriction of the query side (e.g. only new
+    vectors probe the index); neighbors always come from ``embeddings``.
+    ``dim`` must equal the actual vector width — hyperplanes of the wrong
+    width make zip_with emit nulls and silently collapse every bucket key
+    to 0 (all vectors in ONE bucket: found + fixed in r2).
+    """
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    withb = e.join(b, "vec_id")
-    a, c = withb.alias("a"), withb.alias("b")
+    qe = (
+        e
+        if queries is None
+        else queries.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    )
+    cands = None
+    for t in range(n_tables):
+        nb = hyperplane_buckets(
+            embeddings, dim, n_planes, seed + 1000 * t, id_col, vec_col
+        ).withColumnRenamed("vec_id", "neighbor_id")
+        qb = hyperplane_buckets(
+            qe, dim, n_planes, seed + 1000 * t, "vec_id", "vec"
+        ).withColumnRenamed("vec_id", "query_id")
+        p = (
+            qb.join(nb, "bucket")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
     scored = (
-        a.join(c, "bucket")
-        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        cands.join(
+            qe.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")),
+            "query_id",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")),
+            "neighbor_id",
+        )
         .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
+            "query_id",
+            "neighbor_id",
             F.round(
-                _dot(F.col("a.vec"), F.col("b.vec"))
-                / (_norm(F.col("a.vec")) * _norm(F.col("b.vec"))),
+                _dot(F.col("qvec"), F.col("nvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
                 6,
             ).alias("cosine"),
         )

@@ -44,6 +44,27 @@ def oracle_sketches(texts: list[str], cfg: DedupConfig) -> list[np.ndarray]:
     return [sketch_text(t, cfg.k, cfg.sketch_size, cfg.hash_seed) for t in texts]
 
 
+def oracle_sketches_min_occ(texts: list[str], cfg: DedupConfig) -> list[np.ndarray]:
+    """F4 (rkmh -M) reference loop: build the global occurrence counter over
+    ALL texts, then per text keep sorted hashes whose global count >= M,
+    stopping at sketch_size (/root/reference/src/rkmh.cpp:1256-1267)."""
+    from collections import Counter
+
+    from rkmh_spark.functions.shingles import shingle_hashes
+
+    assert cfg.min_occ is not None
+    all_hashes = [shingle_hashes(t, cfg.k, cfg.hash_seed) for t in texts]
+    counter: Counter = Counter()
+    for h in all_hashes:
+        counter.update(h[h != 0].tolist())
+    out = []
+    for h in all_hashes:
+        h = np.sort(h[h != 0])
+        kept = h[np.array([counter[int(x)] >= cfg.min_occ for x in h], dtype=bool)] if h.size else h
+        out.append(kept[: cfg.sketch_size].view(np.int64))
+    return out
+
+
 def oracle_pairs(
     texts: list[str], cfg: DedupConfig, sketches: list[np.ndarray] | None = None
 ) -> set[tuple[int, int]]:
