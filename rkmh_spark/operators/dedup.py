@@ -71,11 +71,17 @@ def dedup_pages(
         sigs = compute_signatures(pages, cfg, drop_hashes=drop)
     sigs = sigs.persist()
 
+    multi_use = containment_threshold is not None
+    to_unpersist: list = []
     if use_lsh:
         buckets = band_buckets(sigs, cfg)
-        # candidate_pairs materializes (localCheckpoint) internally — safe
-        # to reuse across the verify + containment branches, no persist leak
-        cands = candidate_pairs(buckets, cfg)
+        # containment path reads candidates twice → eager checkpoint;
+        # plain dedup consumes them once → lazy (checkpoint measured 2×
+        # the candidate-stage wall), with the census persist handed back
+        # for unpersist after pairs materialize
+        cands = candidate_pairs(
+            buckets, cfg, materialize=multi_use, cleanup=to_unpersist
+        )
         pairs = verify_pairs(cands, sigs, cfg)
     else:
         cands = None
@@ -85,6 +91,8 @@ def dedup_pages(
     # edge count to connected_components (skips its limit().count() job)
     pairs = pairs.persist()
     n_pairs = pairs.count()
+    for h in to_unpersist:
+        h.unpersist()
     edges = pairs.select("url_a", "url_b")
     if containment_threshold is not None and cands is not None:
         from rkmh_spark.operators.containment import (

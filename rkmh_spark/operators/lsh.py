@@ -47,7 +47,10 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def candidate_pairs(
-    buckets: DataFrame, cfg: DedupConfig, materialize: bool = True
+    buckets: DataFrame,
+    cfg: DedupConfig,
+    materialize: bool = True,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """buckets → distinct (url_a, url_b) with url_a < url_b.
 
@@ -61,6 +64,12 @@ def candidate_pairs(
     read it, but leaving it cached leaked one relation per call in the
     streaming loop (ADVICE r1). The returned DataFrame is already
     computed, lineage-free, and safe to reuse across plan branches.
+
+    ``materialize=False``: single-consumer callers (the batch dedup
+    pipeline consumes candidates exactly once, in verify) skip the eager
+    checkpoint — measured 2× the candidate-stage wall at sf0.1 — and take
+    the ``sized`` persist handle via ``cleanup`` (a list the caller
+    unpersists after its own action materializes the chain).
     """
     # bucket sizes via window count: ONE shuffle on the bucket key versus
     # the agg-then-join census spelling (two), and the sized relation is
@@ -89,6 +98,8 @@ def candidate_pairs(
     if materialize:
         pairs = pairs.localCheckpoint(eager=True)
         sized.unpersist()
+    elif cleanup is not None:
+        cleanup.append(sized)
     return pairs
 
 
