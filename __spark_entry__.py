@@ -448,7 +448,12 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment dups, exact relational spelling: doc pairs where one
-    text occurs verbatim inside the other (J4 exact confirmation)."""
+    text occurs verbatim inside the other (J4 exact confirmation).
+
+    FIXTURE-ONLY: O(n²) theta-join — this is the DuckDB-checkable
+    spelling of containment; the scale path is `containment_sketch`
+    (candidate-restricted). Never run at sf >= 1.
+    """
     d = _docs(spark, sf_dir).select("doc_id", "text")
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))

@@ -33,11 +33,65 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 MANIFEST = "_MANIFEST.json"
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an iceberg-spark-runtime jar is on the classpath."""
+    try:
+        # py4j hands back a JavaPackage stub for ANY dotted path without
+        # touching the classloader — only Class.forName really probes
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Schema")
+        return True
+    except Exception:
+        return False
+
+
 class CheckpointManager:
-    def __init__(self, root: str, run_id: str = "run0"):
+    """``table_format="parquet"`` (default, this sandbox) or ``"iceberg"``.
+
+    The Iceberg path is the production posture (SURVEY §7.4 risk 5):
+    stages become catalog tables (``catalog.namespace.stage_<name>``)
+    written with ``writeTo(...).using("iceberg").createOrReplace()`` —
+    snapshot isolation makes the write itself atomic, so the JSON
+    manifest carries only the lineage/metrics, not the completeness bit
+    (Iceberg's own snapshot is the completeness bit; the manifest stays
+    for the idempotence checksum). Requires iceberg-spark-runtime on the
+    classpath + a configured catalog; this sandbox has neither, so the
+    constructor raises early with a clear message rather than failing
+    deep inside a write (tested in tests/test_resume.py).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        run_id: str = "run0",
+        table_format: str = "parquet",
+        catalog: str | None = None,
+        namespace: str = "rkmh",
+        spark: SparkSession | None = None,
+    ):
+        if table_format not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown table_format: {table_format}")
+        if table_format == "iceberg":
+            if catalog is None:
+                raise RuntimeError(
+                    "table_format='iceberg' needs a configured catalog name "
+                    "(spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog)"
+                )
+            if spark is not None and not iceberg_available(spark):
+                raise RuntimeError(
+                    "table_format='iceberg' but no iceberg-spark-runtime jar "
+                    "on the classpath — add it via spark.jars.packages or "
+                    "use table_format='parquet'"
+                )
+        self.table_format = table_format
+        self.catalog = catalog
+        self.namespace = namespace
         self.root = root
         self.run_id = run_id
         os.makedirs(root, exist_ok=True)
+
+    def table_identifier(self, stage: str) -> str:
+        """Catalog identifier for a stage table (iceberg mode)."""
+        return f"{self.catalog}.{self.namespace}.stage_{stage}"
 
     # -- paths -------------------------------------------------------------
     def stage_path(self, stage: str) -> str:
@@ -73,16 +127,23 @@ class CheckpointManager:
         """
         path = self.stage_path(name)
         if self.is_complete(name):
-            return spark.read.parquet(path)
+            return self._read(spark, name, path)
 
         t0 = time.perf_counter()
         df = build()
         if num_partitions:
             df = df.repartition(num_partitions)
-        df.write.mode("overwrite").parquet(path)
+        if self.table_format == "iceberg":
+            # snapshot-isolated replace: a kill mid-write leaves the prior
+            # snapshot intact; resume re-runs the stage transactionally
+            df.writeTo(self.table_identifier(name)).using(
+                "iceberg"
+            ).createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(path)
         wall_ms = int((time.perf_counter() - t0) * 1000)
 
-        out = spark.read.parquet(path)
+        out = self._read(spark, name, path)
         lineage, checksum, total_rows = self._lineage(out)
         with open(self._manifest_path(name), "w") as f:
             json.dump(
@@ -99,6 +160,11 @@ class CheckpointManager:
                 indent=1,
             )
         return out
+
+    def _read(self, spark: SparkSession, name: str, path: str) -> DataFrame:
+        if self.table_format == "iceberg":
+            return spark.read.table(self.table_identifier(name))
+        return spark.read.parquet(path)
 
     @staticmethod
     def _lineage(df: DataFrame):

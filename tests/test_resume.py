@@ -71,3 +71,26 @@ def test_lineage_rows_sum_to_total(spark, pages, tmp_path):
         m = ckpt.manifest(st)
         assert sum(p["rows"] for p in m["partitions"]) == m["rows"], st
         assert m["wall_ms"] >= 0 and "checksum" in m
+
+
+def test_iceberg_mode_is_config_switchable(spark, tmp_path):
+    """The Iceberg code path exists and is selected by config; in this
+    sandbox (no iceberg-spark-runtime jar) it must fail EARLY with a
+    clear message, not deep inside a write."""
+    import pytest
+
+    from rkmh_spark.plans.checkpoint import CheckpointManager, iceberg_available
+
+    assert not iceberg_available(spark)  # sandbox posture
+    with pytest.raises(RuntimeError, match="catalog"):
+        CheckpointManager(str(tmp_path), table_format="iceberg")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        CheckpointManager(
+            str(tmp_path), table_format="iceberg", catalog="ice", spark=spark
+        )
+    ck = CheckpointManager(
+        str(tmp_path), table_format="iceberg", catalog="ice"
+    )
+    assert ck.table_identifier("signatures") == "ice.rkmh.stage_signatures"
+    with pytest.raises(ValueError):
+        CheckpointManager(str(tmp_path), table_format="delta")
