@@ -49,8 +49,11 @@ def main() -> None:
         "min_occ_signatures",     # r2: F4 relational filtered sketch
     ]
 
-    # JVM+python-worker warm-up on the tiny sf so per-query times are real
+    # JVM+python-worker warm-up on the tiny sf so per-query times measure
+    # the operators, not JIT/worker spin-up: exercise the same code paths
+    # (Arrow mapInPandas kernels, shuffles, pandas-UDF verify, driver CC)
     _run(qfns["pricing_summary"](spark, "/root/testdata/sf0.001"))
+    _run(qfns["dedup_assignments"](spark, "/root/testdata/sf0.001"))
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 

@@ -151,7 +151,7 @@ def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
 
 
 def simhash_band_candidates(
-    signatures: DataFrame, bucket_cap: int = 200
+    signatures: DataFrame, bucket_cap: int = 200, materialize: bool = False
 ) -> DataFrame:
     """Pairs colliding on any 16-bit quarter of the SimHash (≤3-bit
     Hamming neighbors always share a quarter, by pigeonhole).
@@ -208,8 +208,8 @@ def simhash_band_candidates(
         node_col="doc_id",
         out_cols=("doc_a", "doc_b"),
     )
-    pairs = (
-        normal_pairs.unionByName(hot_pairs).distinct().localCheckpoint(eager=True)
-    )
-    sized.unpersist()
+    pairs = normal_pairs.unionByName(hot_pairs).distinct()
+    if materialize:  # for callers that reuse the pair set across branches
+        pairs = pairs.localCheckpoint(eager=True)
+        sized.unpersist()
     return pairs

@@ -175,25 +175,33 @@ def compute_signatures_min_occ(
             F.col("keep")
             & (F.coalesce(F.col("df"), F.lit(0)) <= F.lit(cfg.max_doc_freq)),
         )
-    narrow = joined.select("url", "hash", "cnt", "keep")
+    # ONE aggregation gathers each doc's kept (hash, cnt) pairs + totals;
+    # the sketch rebuild then runs as a batched mapInPandas (one Python
+    # call per Arrow batch) rather than applyInPandas' one call + one
+    # DataFrame construction per GROUP — measured ~2× on 5k docs
+    gathered = joined.groupBy("url").agg(
+        F.sum("cnt").alias("n_shingles"),
+        F.collect_list(F.when(F.col("keep"), F.col("hash"))).alias("khash"),
+        F.collect_list(F.when(F.col("keep"), F.col("cnt"))).alias("kcnt"),
+    )
 
-    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
-        url = pdf["url"].iloc[0]
-        n_shingles = int(pdf["cnt"].sum())
-        kept = pdf[pdf["keep"]]
-        vals = kept["hash"].to_numpy(dtype=np.int64).view(np.uint64)
-        cnts = kept["cnt"].to_numpy(dtype=np.int64)
-        order = np.argsort(vals)  # uint64 order BEFORE the int64 bit-cast
-        expanded = np.repeat(vals[order], cnts[order])
-        sketch = expanded[:s].view(np.int64)
-        minhash = oph_minhash(vals[order], num_perms)
-        return pd.DataFrame(
-            {
-                "url": [url],
-                "sketch": [sketch],
-                "minhash": [minhash],
-                "n_shingles": [n_shingles],
-            }
-        )
+    def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sketches, minhashes = [], []
+            for kh, kc in zip(pdf["khash"], pdf["kcnt"]):
+                vals = np.asarray(kh, dtype=np.int64).view(np.uint64)
+                cnts = np.asarray(kc, dtype=np.int64)
+                order = np.argsort(vals)  # u64 order BEFORE the i64 bit-cast
+                expanded = np.repeat(vals[order], cnts[order])
+                sketches.append(expanded[:s].view(np.int64))
+                minhashes.append(oph_minhash(vals[order], num_perms))
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "sketch": sketches,
+                    "minhash": minhashes,
+                    "n_shingles": pdf["n_shingles"].values,
+                }
+            )
 
-    return narrow.groupBy("url").applyInPandas(rebuild, schema=signatures_schema())
+    return gathered.mapInPandas(rebuild, schema=signatures_schema())

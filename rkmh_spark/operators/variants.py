@@ -185,7 +185,12 @@ def call_variants(
     ``depth``: pass a precomputed kmer_depth_table to share it.
     """
     if depth is None:
-        depth = kmer_depth_table(corpus, k, text_col=text_col)
+        # the depth table feeds THREE consumers (position join, SNP-mutant
+        # join, del-mutant join) — materialize once instead of re-running
+        # the full corpus aggregation per consumer
+        depth = kmer_depth_table(corpus, k, text_col=text_col).localCheckpoint(
+            eager=True
+        )
     ref_pos = reference_positions(refs, k, ref_col=ref_col, text_col=text_col)
     pos_depth = windowed_ref_depth(ref_pos, depth, window_len)
     # F7 trigger 1: only low-coverage positions permute (rkmh.cpp:1801).
