@@ -381,6 +381,14 @@ def q_variant_vcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vcf_lines(call_variants(refs, corpus, k=6, window_len=10))
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (training-pipeline op): gap>12h splits a user's
+    events into sessions; one row per session with span stats."""
+    from rkmh_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_seconds=43_200)
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc (JVM xxhash64 token votes). Oracle: an
     INDEPENDENT pure-Python XXH64 (validated on the public test vectors)
@@ -585,8 +593,22 @@ def q_two_tier_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pages = documents_as_pages(docs)
-    panel = pages.where(F.col("url").substr(-1, 1).isin("0", "5"))
-    queries_df = pages.where(~F.col("url").substr(-1, 1).isin("0", "5")).limit(50)
+    # deterministic split (r1 used limit(50), which is order-dependent):
+    # panel = every 5th doc; queries = docs with id % 10 == 1
+    panel = pages.join(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url")
+        ),
+        "url",
+        "left_semi",
+    )
+    queries_df = pages.join(
+        docs.where(F.col("doc_id") % 10 == 1).select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url")
+        ),
+        "url",
+        "left_semi",
+    )
     return two_tier_classify(queries_df, panel, TEST_CONFIG)
 
 
@@ -639,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "bpe_token_counts": q_bpe_token_counts,
         "min_occ_signatures": q_min_occ_signatures,
+        "session_stats": q_session_stats,
         "variant_calls": q_variant_calls,
         "variant_vcf": q_variant_vcf,
         "simhash_signatures": q_simhash_signatures,
@@ -652,7 +675,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_rep_sketches": q_cluster_rep_sketches,
         "cluster_representatives": q_cluster_representatives,
         "containment_sketch": q_containment_sketch,
-        # rows-only (LSH-randomized or stateful; pytest-covered instead):
         "simhash_bands": q_simhash_bands,
         "two_tier_classify": q_two_tier_classify,
     }
@@ -742,49 +764,8 @@ FROM agg
 """
 
 
-def _simhash_oracle_sql(_cache: dict = {}) -> str:
-    """VALUES-literal oracle for SimHash signatures: an INDEPENDENT
-    pure-Python XXH64 (validated on the public xxHash test vectors,
-    rkmh_spark/functions/xxhash.py) + per-bit vote, computed straight from
-    the sf0.01 parquet via DuckDB — no Spark anywhere in the derivation.
-    DuckDB has no xxhash64 function, so literals are the only spelling."""
-    if "sql" in _cache:
-        return _cache["sql"]
-    import duckdb
-
-    from rkmh_spark.functions.xxhash import xxh64
-
-    con = duckdb.connect()
-    rows = con.sql(
-        "SELECT doc_id, text FROM read_parquet("
-        f"'{_ORACLE_SF_DIR}/documents.parquet') ORDER BY doc_id"
-    ).fetchall()
-    con.close()
-    hcache: dict[str, int] = {}
-    out = []
-    for doc_id, text in rows:
-        votes = [0] * 64
-        for t in set((text or "").split(" ")):
-            if t == "":
-                continue
-            h = hcache.get(t)
-            if h is None:
-                h = xxh64(t.encode("utf-8"), seed=42) & 0xFFFFFFFFFFFFFFFF
-                hcache[t] = h
-            for b in range(64):
-                votes[b] += 1 if (h >> b) & 1 else -1
-        sim = 0
-        for b in range(64):
-            if votes[b] > 0:
-                sim |= 1 << b
-        if sim >= 1 << 63:
-            sim -= 1 << 64
-        out.append(f"({doc_id},{sim})")
-    _cache["sql"] = (
-        "SELECT CAST(col0 AS BIGINT) AS doc_id, CAST(col1 AS BIGINT) AS simhash "
-        f"FROM (VALUES {','.join(out)}) t(col0, col1)"
-    )
-    return _cache["sql"]
+# (SimHash literal oracles live in rkmh_spark/oracle_literals.py — the
+# independent pure-Python XXH64 derivation, shared by signatures + bands.)
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -1079,9 +1060,36 @@ def oracle_sql() -> dict[str, str]:
             FROM docg JOIN dic USING (g)
             GROUP BY doc_id
         """,
+        "session_stats": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts) > 43200
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       CAST(sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   CAST(floor(min(extract(epoch FROM ts))) AS BIGINT)
+                       AS session_start_s,
+                   CAST(floor(max(extract(epoch FROM ts))) AS BIGINT)
+                       AS session_end_s,
+                   CAST(floor(max(extract(epoch FROM ts)))
+                        - floor(min(extract(epoch FROM ts))) AS BIGINT)
+                       AS duration_s
+            FROM sess GROUP BY user_id, session_idx
+        """,
         "variant_calls": _variant_sql(k=6, w=10, tail="agg"),
         "variant_vcf": _variant_sql(k=6, w=10, tail="vcf"),
-        "simhash_signatures": _simhash_oracle_sql(),
+        "simhash_signatures": _lit.simhash_signatures_sql(),
+        "simhash_bands": _lit.simhash_bands_sql(),
         # NumPy-reference-loop literal oracles (rkmh_spark/oracle_literals
         # docstring explains the derivation + independence caveat):
         "dedup_assignments": _lit.dedup_assignments_sql(),
@@ -1089,4 +1097,5 @@ def oracle_sql() -> dict[str, str]:
         "cluster_rep_sketches": _lit.cluster_rep_sketches_sql(),
         "containment_sketch": _lit.containment_sketch_sql(threshold=0.9),
         "winnow_fingerprints": _lit.winnow_fingerprints_sql(k=8, w=4),
+        "two_tier_classify": _lit.two_tier_classify_sql(),
     }

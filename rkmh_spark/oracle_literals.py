@@ -140,6 +140,10 @@ def _values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
     """rows + [(name, duck_type)] → a typed VALUES SELECT."""
 
     def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         if isinstance(v, float):
@@ -214,6 +218,142 @@ def containment_sketch_sql(threshold: float = 0.9) -> str:
     return _values_sql(
         rows,
         [("url_a", "VARCHAR"), ("url_b", "VARCHAR"), ("containment", "DOUBLE")],
+    )
+
+
+@lru_cache(maxsize=None)
+def _simhashes() -> tuple[tuple[int, int], ...]:
+    """(doc_id, simhash) per doc via the INDEPENDENT pure-Python XXH64
+    (functions/xxhash.py) + per-bit vote — no Spark, no shared murmur."""
+    from rkmh_spark.functions.xxhash import xxh64
+
+    hcache: dict[str, int] = {}
+    out = []
+    for doc_id, text, _ in _documents():
+        votes = [0] * 64
+        for t in set((text or "").split(" ")):
+            if t == "":
+                continue
+            h = hcache.get(t)
+            if h is None:
+                h = xxh64(t.encode("utf-8"), seed=42) & 0xFFFFFFFFFFFFFFFF
+                hcache[t] = h
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sim = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sim |= 1 << b
+        out.append((doc_id, sim - (1 << 64) if sim >= 1 << 63 else sim))
+    return tuple(out)
+
+
+def simhash_signatures_sql() -> str:
+    return _values_sql(
+        list(_simhashes()), [("doc_id", "BIGINT"), ("simhash", "BIGINT")]
+    )
+
+
+def simhash_bands_sql() -> str:
+    """Band the independently-derived simhashes (4 × 16-bit quarters) and
+    emit every intra-bucket pair — the salted triangle join produces the
+    same pair set, only sharded, so this is exact."""
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sim in _simhashes():
+        u = sim & 0xFFFFFFFFFFFFFFFF
+        for band in range(4):
+            key = (u >> (16 * band)) & 0xFFFF
+            buckets.setdefault((band, key), []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return _values_sql(
+        sorted(pairs), [("doc_a", "BIGINT"), ("doc_b", "BIGINT")]
+    )
+
+
+def two_tier_classify_sql(cfg: DedupConfig = TEST_CONFIG) -> str:
+    """Replay of operators/two_tier.two_tier_classify on the deterministic
+    panel/query split (panel: doc_id%5==0; queries: doc_id%10==1):
+    tier-1 sketch argmax via the NumPy reference loop, tier-2
+    discriminative tables in substring space (hash<->k-gram 1:1)."""
+    from rkmh_spark.functions.shingles import multiset_intersection_size
+    from rkmh_spark.oracle import oracle_sketches
+
+    docs = _documents()
+    panel = [(d, t, g) for d, t, g in docs if d % 5 == 0]
+    queries = [(d, t) for d, t, _ in docs if d % 10 == 1]
+    k = cfg.k if isinstance(cfg.k, int) else None
+    assert k is not None
+
+    def grams(t: str) -> list[str]:
+        return [t[i : i + k] for i in range(max(len(t) - k + 1, 0))]
+
+    # tier 2: substrings unique to exactly one lang group over the panel
+    group_sets: dict[str, set] = {}
+    for _, t, g in panel:
+        group_sets.setdefault(g, set()).update(grams(t))
+    seen_in: dict[str, set] = {}
+    for g, s in group_sets.items():
+        for x in s:
+            seen_in.setdefault(x, set()).add(g)
+    uniq = {x: next(iter(gs)) for x, gs in seen_in.items() if len(gs) == 1}
+
+    p_sk = oracle_sketches([t for _, t, _ in panel], cfg)
+    q_sk = oracle_sketches([t for _, t in queries], cfg)
+    p_urls = [f"doc://{d}" for d, _, _ in panel]
+
+    rows = []
+    for (d, t), qs in zip(queries, q_sk):
+        scored = sorted(
+            (
+                (-multiset_intersection_size(qs, ps), u)
+                for ps, u in zip(p_sk, p_urls)
+            ),
+        )
+        shared = -scored[0][0]
+        best_ref = scored[0][1]
+        second = -scored[1][0] if len(scored) > 1 else 0
+        hits: dict[str, int] = {}
+        for x in grams(t):
+            g = uniq.get(x)
+            if g is not None:
+                hits[g] = hits.get(g, 0) + 1
+        if hits:
+            best_group, group_hits = sorted(
+                hits.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+        else:
+            best_group, group_hits = None, 0
+        rows.append(
+            (
+                f"doc://{d}",
+                best_ref,
+                int(shared),
+                len(qs) <= cfg.min_matches,          # fail_depth
+                shared < cfg.min_matches,             # fail_matches
+                (shared - second) <= cfg.min_diff,    # fail_diff
+                best_group,
+                int(group_hits),
+            )
+        )
+    return _values_sql(
+        rows,
+        [
+            ("url", "VARCHAR"),
+            ("best_ref", "VARCHAR"),
+            ("shared", "BIGINT"),
+            ("fail_depth", "BOOLEAN"),
+            ("fail_matches", "BOOLEAN"),
+            ("fail_diff", "BOOLEAN"),
+            ("best_group", "VARCHAR"),
+            ("group_hits", "BIGINT"),
+        ],
     )
 
 
