@@ -584,6 +584,17 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_real_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL learned-merge BPE token counts (the regex spelling in
+    `bpe_token_counts` stays as the cheap JVM approximation): merge table
+    trained offline on the pinned doc_id<50 sf0.01 slice, broadcast into
+    a vectorized encoder with per-distinct-word caching."""
+    from rkmh_spark.functions.bpe import bpe_token_counts as bpe_counts
+    from rkmh_spark.oracle_literals import bpe_merges
+
+    return bpe_counts(_docs(spark, sf_dir), list(bpe_merges()))
+
+
 def q_two_tier_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hpv16 lifecycle: tier-1 sketch argmax + tier-2 discriminative-hash
     group assignment (rows-only)."""
@@ -662,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "min_occ_signatures": q_min_occ_signatures,
         "session_stats": q_session_stats,
+        "bpe_real_token_counts": q_bpe_real_token_counts,
         "variant_calls": q_variant_calls,
         "variant_vcf": q_variant_vcf,
         "simhash_signatures": q_simhash_signatures,
@@ -1098,4 +1110,5 @@ def oracle_sql() -> dict[str, str]:
         "containment_sketch": _lit.containment_sketch_sql(threshold=0.9),
         "winnow_fingerprints": _lit.winnow_fingerprints_sql(k=8, w=4),
         "two_tier_classify": _lit.two_tier_classify_sql(),
+        "bpe_real_token_counts": _lit.bpe_real_token_counts_sql(),
     }

@@ -118,6 +118,85 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    src_col: str = "url_a",
+    dst_col: str = "url_b",
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond', SoCC'14 — public
+    algorithm): converges in O(log n) rounds regardless of component
+    DIAMETER, where hash-min label propagation needs O(diameter) rounds —
+    the right distributed path when near-dup chains are pathologically
+    long (the failure mode warned about in connected_components).
+
+    Per round (two shuffles each, like hash-min):
+      large-star(u): every strictly-larger neighbor of u links to
+        m(u) = min(Γ(u) ∪ {u});
+      small-star(u): every neighbor ≤ u (except m) links to m(u).
+    Fixed point: each component is a star centered on its min node, so
+    labels(node)=center and label = min url in component — identical
+    output contract to the other paths. Comparisons are lexicographic on
+    the url strings, matching the min-url rule everywhere else.
+    """
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("dst"), F.col("src"))).distinct()
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # m(u) over the symmetric neighborhood
+        m = (
+            e.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        j = e.join(m, "src")
+        if large:
+            # large-star(u): strictly-larger neighbors link to m(u)
+            out = j.where(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            )
+        else:
+            # small-star(u): neighbors <= u link to m(u), AND u itself does
+            # (without the self-link the star fixed point would emit
+            # nothing — the leaves' groups only contain the center)
+            smaller = j.where(
+                (F.col("dst") <= F.col("src")) & (F.col("dst") != F.col("m"))
+            ).select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            self_link = m.select(F.col("src"), F.col("m").alias("dst"))
+            out = smaller.union(self_link)
+        return out.where(F.col("src") != F.col("dst")).distinct()
+
+    e = _sym(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("c"),
+        ).first()
+        return (int(row["s"] or 0), row["c"])
+
+    prev = _sig(e)
+    for _ in range(max_iterations):
+        e = _sym(_star(e, large=True))
+        e = _sym(_star(e, large=False)).localCheckpoint(eager=True)
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # fixed point: for every node, its min neighbor IS the center
+    labels = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("mn"))
+        .select("node", F.least("node", "mn").alias("label"))
+    )
+    return labels
+
+
 def _driver_union_find(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """Small-graph fast path: exact union-find on Arrow-collected edges.
 

@@ -357,6 +357,28 @@ def two_tier_classify_sql(cfg: DedupConfig = TEST_CONFIG) -> str:
     )
 
 
+@lru_cache(maxsize=None)
+def bpe_merges(n_merges: int = 200) -> tuple:
+    """Merge table trained on the pinned doc_id < 50 slice of sf0.01 —
+    the offline-trained-vocab posture; both the Spark query and the
+    oracle consume this same deterministic table."""
+    from rkmh_spark.functions.bpe import train_bpe
+
+    texts = [t for d, t, _ in _documents() if d < 50]
+    return tuple(train_bpe(texts, n_merges=n_merges))
+
+
+def bpe_real_token_counts_sql() -> str:
+    from rkmh_spark.functions.bpe import encode_text
+
+    ranks = {tuple(p): i for i, p in enumerate(bpe_merges())}
+    cache: dict = {}
+    rows = [
+        (d, len(encode_text(t, ranks, cache))) for d, t, _ in _documents()
+    ]
+    return _values_sql(rows, [("doc_id", "BIGINT"), ("n_bpe_tokens", "BIGINT")])
+
+
 def winnow_fingerprints_sql(k: int = 8, w: int = 4, seed: int = 42) -> str:
     from rkmh_spark.functions.fingerprint import winnow
     from rkmh_spark.functions.shingles import shingle_hashes
