@@ -1,0 +1,64 @@
+"""Physical-plan regression guards: the scale-path queries must never
+plan a cartesian/broadcast-nested-loop join, and scans must prune columns.
+(The declared-O(n²) oracle spellings — substring_pairs, embedding_dup_*
+brute-force — are exempt: their theta-joins are the point.)"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+# two_tier_classify is exempt: its tier-1 is classify's exhaustive mode —
+# a DELIBERATE broadcast nested-loop against the small resident panel,
+# the reference's own mechanism (rkmh.cpp:867-870); the scale path for
+# large panels is the banded default.
+SCALE_PATH_QUERIES = [
+    "dedup_assignments",
+    "minhash_signatures",
+    "min_occ_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_bands",
+    "containment_sketch",
+    "variant_calls",
+    "session_stats",
+    "search_hits",
+    "embedding_dup_pairs_lsh",
+    "embedding_lsh_topk",
+    "token_docfreq",
+    "pricing_summary",
+    "brand_revenue",
+]
+
+
+@pytest.mark.parametrize("name", SCALE_PATH_QUERIES)
+def test_no_quadratic_join_in_plan(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_parquet_scan_prunes_columns(spark):
+    # token_docfreq reads only (doc_id, text) of documents — the scan's
+    # ReadSchema must not include the unused lang/source/n_chars columns
+    df = entry_mod.queries()["token_docfreq"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.split("\n") if "ReadSchema" in l]
+    assert scan_lines, "no parquet scan found"
+    for l in scan_lines:
+        assert "lang" not in l and "n_chars" not in l, l
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    # embedding_topk filters queries on vec_id < 20 — the predicate must
+    # be pushed into the parquet scan, not applied post-scan only.
+    # (variant_calls' scans don't appear in ITS final plan: its depth
+    # table is localCheckpointed, so those scans run in sub-jobs.)
+    df = entry_mod.queries()["embedding_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        l for l in plan.split("\n")
+        if "PushedFilters" in l and "vec_id" in l and "LessThan" in l
+    ]
+    assert pushed, plan[:2000]
