@@ -101,6 +101,95 @@ def hash_depth_table(
     return exploded.groupBy("hash").agg(F.sum("cnt").alias("depth"))
 
 
+class CountMinSketchNP:
+    """A5 — the reference's lossy fixed-memory counter (HASHTCounter,
+    /root/reference/src/rkmh.cpp:340-421, README.md:67-69 "~80 MB,
+    collision-prone") as a proper Count-Min Sketch (Cormode/Muthukrishnan,
+    public algorithm): depth×width int64 table, per-row universal hashing,
+    estimate = min over rows. One-sided like the reference's collisions:
+    estimates only ever OVER-count, so a keep-if-count≥M filter keeps a
+    superset — the same failure direction the reference documents.
+
+    Vectorized NumPy throughout; the table is a few hundred KB and
+    BROADCASTS into the signature kernel, so the -M filter runs with zero
+    shuffle — the Spark reshaping of the reference holding its counter
+    resident in shared memory (rkmh.cpp:1256: counter lookup per hash).
+    """
+
+    def __init__(self, width: int = 1 << 14, depth: int = 4, seed: int = 42):
+        self.width = width
+        self.depth = depth
+        rng = np.random.default_rng(seed)
+        self.a = (
+            rng.integers(1, 2**62, size=depth, dtype=np.uint64) * np.uint64(2)
+            + np.uint64(1)
+        )
+        self.b = rng.integers(0, 2**63, size=depth, dtype=np.uint64)
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _idx(self, hashes: np.ndarray) -> np.ndarray:
+        """(depth, n) table columns for uint64 inputs."""
+        mixed = hashes[None, :] * self.a[:, None] + self.b[:, None]
+        return ((mixed >> np.uint64(33)) % np.uint64(self.width)).astype(
+            np.int64
+        )
+
+    def update(self, hashes: np.ndarray) -> None:
+        idx = self._idx(hashes.astype(np.uint64))
+        for d in range(self.depth):
+            np.add.at(self.table[d], idx[d], 1)
+
+    def estimate(self, hashes: np.ndarray) -> np.ndarray:
+        """(n,) over-estimates of each hash's total count."""
+        if hashes.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        idx = self._idx(hashes.astype(np.uint64))
+        ests = np.stack(
+            [self.table[d][idx[d]] for d in range(self.depth)], axis=0
+        )
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketchNP") -> "CountMinSketchNP":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.table += other.table
+        return self
+
+
+def approx_hash_depth_cms(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    width: int = 1 << 14,
+    depth: int = 4,
+    text_col: str = "text",
+) -> CountMinSketchNP:
+    """Build the global CMS distributed: one local table per partition
+    (mapInPandas emits the flattened int64 table as ONE row), tables
+    summed on the driver — a fixed depth×width×8-byte transfer per
+    partition regardless of corpus size. No shuffle at all."""
+    k, seed = cfg.k, cfg.hash_seed
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cms = CountMinSketchNP(width, depth, seed)
+        for pdf in batches:
+            for t in pdf[text_col].tolist():
+                h = shingle_hashes(t if t is not None else "", k, seed)
+                h = h[h != 0]
+                if h.size:
+                    cms.update(h)
+        yield pd.DataFrame({"table": [cms.table.ravel().tolist()]})
+
+    parts = pages.select(text_col).mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [T.StructField("table", T.ArrayType(T.LongType()), False)]
+        ),
+    )
+    out = CountMinSketchNP(width, depth, cfg.hash_seed)
+    for r in parts.collect():
+        out.table += np.array(r["table"], dtype=np.int64).reshape(depth, width)
+    return out
+
+
 def hot_shingles(doc_freq: DataFrame, max_doc_freq: int) -> np.ndarray:
     """Hashes present in more than ``max_doc_freq`` documents (rkmh -I analog).
 

@@ -90,6 +90,64 @@ def compute_signatures(
     return narrow.mapInPandas(kernel, schema=signatures_schema())
 
 
+def compute_signatures_min_occ_approx(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    cms,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """F4 via the A5 Count-Min counter: keep a hash iff the CMS ESTIMATE
+    of its global occurrence count >= cfg.min_occ — the literal Spark
+    reshaping of the reference's doReadDepth loop (counter lookup per
+    sorted hash, /root/reference/src/rkmh.cpp:1256-1267) with the counter
+    broadcast instead of shared-memory-resident.
+
+    vs the exact relational path (compute_signatures_min_occ): ZERO
+    shuffles — one mapInPandas pass, the CMS table rides the closure
+    (~0.5 MB). CMS estimates only over-count, so the kept set is a
+    SUPERSET of the exact path's (the reference's own collision-mode
+    direction, README.md:67-69); width sizes the error.
+    """
+    if cfg.min_occ is None:
+        raise ValueError("requires cfg.min_occ")
+    from rkmh_spark.functions.shingles import oph_minhash as _oph
+
+    k, s, seed = cfg.k, cfg.sketch_size, cfg.hash_seed
+    num_perms = cfg.num_bands * cfg.band_rows
+    min_occ = int(cfg.min_occ)
+    table, a, b, width, depth = cms.table, cms.a, cms.b, cms.width, cms.depth
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rkmh_spark.operators.docfreq import CountMinSketchNP
+
+        local = CountMinSketchNP(width, depth, 0)
+        local.table, local.a, local.b = table, a, b
+        for pdf in batches:
+            sketches, minhashes, counts = [], [], []
+            for t in pdf[text_col].tolist():
+                h = shingle_hashes(t if t is not None else "", k, seed)
+                h = h[h != 0]
+                counts.append(h.size)
+                if h.size:
+                    h = h[local.estimate(h) >= min_occ]
+                hs = np.sort(h)
+                sketches.append(hs[:s].view(np.int64))
+                minhashes.append(_oph(hs, num_perms))
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col].values,
+                    "sketch": sketches,
+                    "minhash": minhashes,
+                    "n_shingles": np.asarray(counts, dtype=np.int64),
+                }
+            )
+
+    return pages.select(url_col, text_col).mapInPandas(
+        kernel, schema=signatures_schema()
+    )
+
+
 def compute_signatures_min_occ(
     pages: DataFrame,
     cfg: DedupConfig,

@@ -93,3 +93,59 @@ def test_min_occ_minhash_empty_iff_sketch_empty(spark):
         assert (len(r["minhash"]) == 0) == (len(r["sketch"]) == 0)
         if len(r["minhash"]):
             assert len(r["minhash"]) == CFG.num_perms
+
+
+def test_cms_counter_one_sided_and_accurate(spark):
+    from rkmh_spark.operators.docfreq import (
+        approx_hash_depth_cms,
+        hash_depth_table,
+    )
+
+    pages = pages_dataframe(spark, n_clusters=15, seed=13)
+    cfg = DedupConfig(k=8, sketch_size=64)
+    exact = {
+        r["hash"]: r["depth"] for r in hash_depth_table(pages, cfg).collect()
+    }
+    cms = approx_hash_depth_cms(pages, cfg, width=1 << 14, depth=4)
+    hashes = np.array(list(exact), dtype=np.int64).view(np.uint64)
+    est = cms.estimate(hashes)
+    true = np.array([exact[h] for h in np.asarray(hashes).view(np.int64)])
+    assert (est >= true).all()  # CMS never under-counts
+    # at this width vs corpus size, estimates are near-exact
+    assert (est == true).mean() >= 0.99
+
+
+def test_approx_min_occ_superset_and_converges_to_exact(spark):
+    from rkmh_spark.operators.docfreq import approx_hash_depth_cms
+    from rkmh_spark.operators.signatures import (
+        compute_signatures_min_occ,
+        compute_signatures_min_occ_approx,
+    )
+
+    cfg = DedupConfig(
+        k=8, sketch_size=1_000_000, num_bands=72, band_rows=4, min_occ=2
+    )
+    pages = pages_dataframe(spark, n_clusters=12, seed=17)
+    exact = {
+        r["url"]: set(r["sketch"])
+        for r in compute_signatures_min_occ(pages, cfg).collect()
+    }
+    # generous width → superset with tiny spillover (CMS only over-counts;
+    # a count-1 shingle passes min_occ=2 iff it collides in ALL depth rows,
+    # P ≈ (n/width)^depth)
+    cms_big = approx_hash_depth_cms(pages, cfg, width=1 << 16, depth=4)
+    approx_big = {
+        r["url"]: set(r["sketch"])
+        for r in compute_signatures_min_occ_approx(pages, cfg, cms_big).collect()
+    }
+    n_exact = sum(len(v) for v in exact.values())
+    n_extra = sum(len(approx_big[u] - exact[u]) for u in exact)
+    assert all(approx_big[u] >= exact[u] for u in exact)
+    assert n_extra <= max(5, 0.02 * n_exact), (n_extra, n_exact)
+    # tiny width → collisions over-count → kept set is a SUPERSET
+    cms_tiny = approx_hash_depth_cms(pages, cfg, width=64, depth=2)
+    approx_tiny = {
+        r["url"]: set(r["sketch"])
+        for r in compute_signatures_min_occ_approx(pages, cfg, cms_tiny).collect()
+    }
+    assert all(approx_tiny[u] >= exact[u] for u in exact)
