@@ -38,10 +38,20 @@ def cluster_representative_sketches(
     counted = member_hashes.groupBy("cluster_id", "hash").agg(
         F.count_distinct("url").alias("cnt")
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("hash") < 0, F.col("hash")  # unsigned u64 ascending
+    # bottom-s per cluster as a TWO-LEVEL salted tournament: a giant
+    # boilerplate cluster (10^8 members ⇒ up to s·members distinct hashes)
+    # would otherwise sort through ONE window partition. Level 1 takes
+    # bottom-s within (cluster, hash mod SALT) — 16× smaller partitions,
+    # deterministic salt; level 2 takes bottom-s of the ≤16·s survivors.
+    # Identical result: the global s smallest all survive their shard.
+    u64_order = [F.col("hash") < 0, F.col("hash")]  # unsigned u64 ascending
+    salt = F.pmod(F.col("hash"), F.lit(16))
+    w1 = Window.partitionBy("cluster_id", salt).orderBy(*u64_order)
+    pruned = counted.withColumn("rk1", F.row_number().over(w1)).where(
+        F.col("rk1") <= cfg.sketch_size
     )
-    topk = counted.withColumn("rk", F.row_number().over(w)).where(
+    w = Window.partitionBy("cluster_id").orderBy(*u64_order)
+    topk = pruned.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= cfg.sketch_size
     )
     return topk.groupBy("cluster_id").agg(
