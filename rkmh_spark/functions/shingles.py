@@ -169,6 +169,7 @@ def sketch_texts_batch(
 
 
 _DENSIFY_C = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+_DENSIFY_A = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 finalizer constant
 
 
 def oph_minhash(sorted_hashes: np.ndarray, num_bins: int) -> np.ndarray:
@@ -178,10 +179,19 @@ def oph_minhash(sorted_hashes: np.ndarray, num_bins: int) -> np.ndarray:
     K=144 that is ~100x the murmur cost and left the signature stage
     memory-bandwidth-bound. OPH (Li/Owen/Zhang 2012) hashes each shingle
     ONCE: bin = h mod K, signature[bin] = min h in bin — O(n) after the
-    sort the bottom-s sketch needs anyway. Empty bins (only short docs:
-    P(empty) = (1-1/K)^n) take rotation densification (Shrivastava/Li
-    2014): borrow the next non-empty bin's value cyclically, offset by
-    distance*C so different borrow distances don't spuriously collide.
+    sort the bottom-s sketch needs anyway.
+
+    Empty bins take OPTIMAL densification (Shrivastava, ICML'17 — public
+    algorithm): each empty bin borrows from an independent hash-random
+    sequence of bins, retrying until it lands on a filled one. r1 used
+    ROTATION densification (next-filled-bin + distance offset), which
+    fills CONSECUTIVE empty bins from the SAME source minimum; since
+    bands are consecutive r-bin slices, a band of densified bins collided
+    with probability ≈ J instead of J^r, and short documents
+    (n_shingles < K) exploded the candidate set — measured 408,893
+    candidate pairs for 5,000 sf0.1 docs vs 6,635 after the switch (62×),
+    identical capture theory. Deterministic: the retry sequence is a
+    fixed hash of (bin, attempt).
 
     Input must be ascending uint64 with zero-sentinels removed; returns
     (K,) int64 bit-cast. Empty input → empty vector (depth-filter F1).
@@ -195,20 +205,23 @@ def oph_minhash(sorted_hashes: np.ndarray, num_bins: int) -> np.ndarray:
     filled = np.zeros(num_bins, dtype=bool)
     vals[present] = sorted_hashes[first_idx]  # ascending → first = min
     filled[present] = True
-    n_empty = num_bins - present.size
-    if n_empty:
-        # distance to next filled bin, cyclic, via a doubled suffix scan
-        idx2 = np.concatenate([filled, filled]).nonzero()[0]
-        # for each position p, the smallest filled index >= p
-        nxt_ptr = np.searchsorted(idx2, np.arange(2 * num_bins))
-        src = idx2[np.minimum(nxt_ptr, idx2.size - 1)]
-        dist = (src - np.arange(2 * num_bins))[:num_bins]
-        srcmod = (src % num_bins)[:num_bins]
+    if present.size < num_bins:
+        src = np.full(num_bins, -1, dtype=np.int64)
+        pending = np.flatnonzero(~filled)
+        attempt = np.uint64(1)
+        with np.errstate(over="ignore"):  # uint64 wraparound is the mixer
+            while pending.size:
+                j = (
+                    (pending.astype(np.uint64) * _DENSIFY_A + attempt * _DENSIFY_C)
+                    >> np.uint64(33)
+                ) % k
+                j = j.astype(np.int64)
+                hit = filled[j]
+                src[pending[hit]] = j[hit]
+                pending = pending[~hit]
+                attempt += np.uint64(1)
         empty_pos = ~filled
-        vals[empty_pos] = (
-            vals[srcmod[empty_pos]]
-            + dist[empty_pos].astype(np.uint64) * _DENSIFY_C
-        )
+        vals[empty_pos] = vals[src[empty_pos]]
     return vals.view(np.int64)
 
 
