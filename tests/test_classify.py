@@ -116,3 +116,36 @@ def test_ranked_similarity_orders_desc(spark, panel_and_queries):
         lst.sort()
         sims = [s for _, s in lst]
         assert sims == sorted(sims, reverse=True), url
+
+
+def test_lsh_path_emits_row_for_unmatched_queries(spark):
+    """ADVICE r1: a query whose bands collide with NO reference must still
+    produce a classification record (FAIL:MATCHES), not vanish."""
+    import datetime
+
+    from rkmh_spark.config import DedupConfig
+
+    cfg = DedupConfig(k=8, sketch_size=64, num_bands=16, band_rows=4,
+                      jaccard_threshold=0.5)
+    ts = datetime.datetime(2026, 1, 1)
+    qdf = spark.createDataFrame(
+        [("q://match", ts, b"", "alpha beta gamma delta epsilon zeta " * 8, "en"),
+         ("q://nomatch", ts, b"", "totally unrelated content words here now " * 8, "en"),
+         ("q://empty", ts, b"", "", "en")],
+        pages_schema())
+    rdf = spark.createDataFrame(
+        [("r://a", ts, b"", "alpha beta gamma delta epsilon zeta " * 8, "en")],
+        pages_schema())
+    out = {
+        r["url"]: r
+        for r in classify_pages(
+            compute_signatures(qdf, cfg), compute_signatures(rdf, cfg), cfg
+        ).collect()
+    }
+    assert set(out) == {"q://match", "q://nomatch", "q://empty"}
+    assert out["q://match"]["best_ref"] == "r://a"
+    assert not out["q://match"]["fail_matches"]
+    for u in ("q://nomatch", "q://empty"):
+        assert out[u]["best_ref"] is None
+        assert out[u]["shared"] == 0 and out[u]["fail_matches"], u
+    assert out["q://empty"]["fail_depth"]
