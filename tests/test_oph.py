@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from rkmh_spark.functions.shingles import oph_minhash
 
@@ -64,3 +66,31 @@ def test_identical_sets_match_everywhere():
     rng = np.random.default_rng(4)
     h = _rand_sorted(rng, 3000)
     assert (oph_minhash(h, 128) == oph_minhash(h, 128)).all()
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=2**63 - 1),
+        min_size=1, max_size=400, unique=True,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_optimal_densification_invariants(values):
+    """Filled bins carry the exact per-bin minimum; empty bins borrow a
+    FILLED bin's value; output is deterministic."""
+    h = np.sort(np.array(values, dtype=np.uint64))
+    K = 32
+    v1 = oph_minhash(h, K).view(np.uint64)
+    v2 = oph_minhash(h.copy(), K).view(np.uint64)
+    np.testing.assert_array_equal(v1, v2)  # deterministic
+    bins = (h % np.uint64(K)).astype(int)
+    filled_vals = {}
+    for b in range(K):
+        mine = h[bins == b]
+        if mine.size:
+            filled_vals[b] = mine.min()
+    for b in range(K):
+        if b in filled_vals:
+            assert v1[b] == filled_vals[b], b
+        else:
+            assert v1[b] in set(filled_vals.values()), b
