@@ -129,6 +129,42 @@ def embedding_near_dup_pairs(
     )
 
 
+def _bucket_pairs_capped(
+    buckets: DataFrame, bucket_cap: int, id_col: str = "id"
+) -> DataFrame:
+    """All intra-bucket id pairs (id_a < id_b) with the same census/cap/
+    salt defense as the MinHash-LSH path: size-1 buckets pruned, ≤cap
+    buckets plain self-join, hot buckets through the salted triangle join
+    (every pair still produced — anisotropic embeddings can pile a large
+    fraction of vectors into a few sign-pattern buckets)."""
+    from pyspark.sql import Window
+
+    from rkmh_spark.operators.lsh import _salted_triangle_pairs
+
+    w = Window.partitionBy("bucket")
+    sized = (
+        buckets.withColumn("sz", F.count("*").over(w))
+        .where(F.col("sz") >= 2)
+        .persist()
+    )
+    normal = sized.where(F.col("sz") <= bucket_cap)
+    a, b = normal.alias("a"), normal.alias("b")
+    normal_pairs = (
+        a.join(b, "bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+    )
+    hot = sized.where(F.col("sz") > bucket_cap)
+    hot_pairs = _salted_triangle_pairs(
+        hot, bucket_cap, keys=["bucket"], node_col=id_col, out_cols=("id_a", "id_b")
+    )
+    pairs = normal_pairs.unionByName(hot_pairs).localCheckpoint(eager=True)
+    sized.unpersist()
+    return pairs
+
+
 def embedding_near_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -138,23 +174,20 @@ def embedding_near_dup_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Scale path: multi-table hyperplane buckets → candidates → exact
     re-check. P(bucket match | angle θ) = (1-θ/π)^n_planes per table;
-    cos 0.95 → θ≈18° → ~0.66/table, 4 tables → ~0.987 capture."""
+    cos 0.95 → θ≈18° → ~0.66/table, 4 tables → ~0.987 capture. Hot
+    buckets go through the census/cap/salt guard (r2 — r1 self-joined
+    buckets uncapped)."""
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cands = None
     for t in range(n_tables):
         b = hyperplane_buckets(
             embeddings, dim, n_planes, seed + 1000 * t, id_col, vec_col
         ).withColumnRenamed("vec_id", "id")
-        wb = e.join(b, "id")
-        a, c = wb.alias("a"), wb.alias("b")
-        p = (
-            a.join(c, "bucket")
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        )
+        p = _bucket_pairs_capped(b, bucket_cap)
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.distinct()
     j = (
@@ -206,8 +239,30 @@ def lsh_topk(
         qb = hyperplane_buckets(
             qe, dim, n_planes, seed + 1000 * t, "vec_id", "vec"
         ).withColumnRenamed("vec_id", "query_id")
+        # bipartite skew guard: a hot bucket multiplies |queries|×|nbrs|
+        # on ONE join key — shard the neighbor side (m = ceil(sz/cap)),
+        # replicate each query row to every shard of its bucket; all
+        # (query, neighbor) pairs are still produced
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket")
+        nsz = nb.withColumn(
+            "m",
+            F.ceil(F.count("*").over(w) / F.lit(1000)).cast("long"),
+        ).withColumn(
+            "shard", F.pmod(F.xxhash64("neighbor_id"), F.col("m"))
+        )
+        qrep = qb.join(
+            nsz.select("bucket", "m").distinct(), "bucket"
+        ).select(
+            "query_id",
+            "bucket",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("m") - 1)).alias(
+                "shard"
+            ),
+        )
         p = (
-            qb.join(nb, "bucket")
+            qrep.join(nsz, ["bucket", "shard"])
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id")
         )
