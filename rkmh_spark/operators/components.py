@@ -228,11 +228,23 @@ def _driver_union_find(edges: DataFrame, src_col: str, dst_col: str) -> DataFram
             else:
                 parent[a] = b
 
-    out = [(names[i], names[find(i)]) for i in range(len(names))]
+    # Arrow-serialized return: a list-of-tuples createDataFrame row-pickles
+    # ~100k+ labels through the driver single-threaded (a measurable slice
+    # of the pipeline's serial floor); a pandas frame ships as Arrow batches
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {
+            "node": pd.Series(names, dtype="object"),
+            "label": pd.Series(
+                [names[find(i)] for i in range(len(names))], dtype="object"
+            ),
+        }
+    )
     spark = edges.sparkSession
     from pyspark.sql import types as T
 
-    schema = T.StructType(
+    schema = T.StructType(  # explicit: empty edge sets can't infer
         [
             T.StructField("node", T.StringType(), False),
             T.StructField("label", T.StringType(), False),
