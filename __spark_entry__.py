@@ -597,13 +597,22 @@ def q_bpe_real_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_two_tier_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hpv16 lifecycle: tier-1 sketch argmax + tier-2 discriminative-hash
-    group assignment (rows-only)."""
+    group assignment + the reference's FULL ranked per-tier lists
+    (rkmh.cpp:2682-2715) at both granularities (lang / lang-source)."""
     from rkmh_spark.config import TEST_CONFIG
     from rkmh_spark.operators.two_tier import two_tier_classify
     from rkmh_spark.sources.pages import documents_as_pages
 
     docs = _docs(spark, sf_dir)
-    pages = documents_as_pages(docs)
+    # lang = lineage analog, lang-source = sublineage analog (the
+    # reference's key[0] vs key[0:2] prefix nesting, rkmh.cpp:2561,2616)
+    pages = documents_as_pages(docs).join(
+        docs.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.concat_ws("-", "lang", "source").alias("subgrp"),
+        ),
+        "url",
+    )
     # deterministic split (r1 used limit(50), which is order-dependent):
     # panel = every 5th doc; queries = docs with id % 10 == 1
     panel = pages.join(
@@ -620,7 +629,9 @@ def q_two_tier_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         "left_semi",
     )
-    return two_tier_classify(queries_df, panel, TEST_CONFIG)
+    return two_tier_classify(
+        queries_df, panel, TEST_CONFIG, group_col="lang", subgroup_col="subgrp"
+    )
 
 
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,8 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 SCRATCH = os.path.join(REPO, ".scratch")
-PAGES = os.path.join(SCRATCH, "scaling_pages.parquet")
 N_CLUSTERS = int(os.environ.get("SCALING_CLUSTERS", "12000"))  # ~18k pages
+PAGES = os.path.join(SCRATCH, f"scaling_pages_{N_CLUSTERS}.parquet")
 REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
 
 
@@ -67,21 +67,55 @@ def calibrate() -> dict:
 
 # ---------------------------------------------------------------------------
 
+def _gen_chunk(task: tuple[int, int, int]) -> str:
+    """Generate one deterministic corpus shard straight to parquet.
+
+    Bypasses Spark + py4j pickling: at 500k+ pages the driver-side
+    createDataFrame path serializes gigabytes through one socket; each
+    worker here writes its shard with pyarrow directly.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rkmh_spark.sources.pages import generate_pages
+
+    idx, n_clusters, seed = task
+    rows = generate_pages(
+        n_clusters=n_clusters, dup_rate=0.3, seed=seed,
+        min_tokens=350, max_tokens=700,
+    )
+    cols = list(zip(*[r[:5] for r in rows]))
+    # urls restart per generate_pages call — namespace per chunk so the
+    # dedup key stays unique across shards
+    urls = [f"https://c{idx:02d}-{u[len('https://'):]}" for u in cols[0]]
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(cols[1], pa.timestamp("us")),
+            "html": pa.array(cols[2], pa.binary()),
+            "text": pa.array(cols[3], pa.string()),
+            "lang": pa.array(cols[4], pa.string()),
+        }
+    )
+    path = os.path.join(PAGES, f"part-{idx:04d}.parquet")
+    pq.write_table(table, path)
+    return path
+
+
 def _ensure_corpus() -> None:
     if os.path.exists(os.path.join(PAGES, "_SUCCESS")):
         return
-    from rkmh_spark.session import get_spark
-    from rkmh_spark.sources.pages import generate_pages, pages_schema
-
-    spark = get_spark(app_name="scaling_gen", cores=32)
-    rows = generate_pages(
-        n_clusters=N_CLUSTERS, dup_rate=0.3, seed=1234,
-        min_tokens=350, max_tokens=700,
-    )
-    rows = [r[:5] for r in rows]
-    df = spark.createDataFrame(rows, schema=pages_schema()).repartition(128)
-    df.write.mode("overwrite").parquet(PAGES)
-    spark.stop()
+    os.makedirs(PAGES, exist_ok=True)
+    n_chunks = 32
+    per = N_CLUSTERS // n_chunks
+    tasks = [
+        (i, per + (1 if i < N_CLUSTERS % n_chunks else 0), 1234 + i)
+        for i in range(n_chunks)
+    ]
+    with mp.Pool(min(16, n_chunks)) as p:
+        p.map(_gen_chunk, tasks)
+    with open(os.path.join(PAGES, "_SUCCESS"), "w"):
+        pass
 
 
 _CHILD = r"""
@@ -125,7 +159,7 @@ def _run_level(cores: int) -> dict:
     proc = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", script,
          str(cores)],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=3600,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -158,8 +192,24 @@ def main() -> None:
     eff_8_32 = (best[32]["pages_per_sec"] / best[8]["pages_per_sec"]) / 4.0
     cal_eff_8_32 = (cal["32"] / cal["8"]) / 4.0
 
+    prior_log: list = []
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior_log = json.load(f).get("run_log", [])
+        except Exception:
+            pass
+
+    prior_log.append({
+        "run": f"round-3 code, {N_CLUSTERS} clusters ({best[2]['pages']} pages)",
+        "eff_2_to_8": round(eff_2_8, 3),
+        "host_calibration_8w_iters_per_sec": cal["8"],
+    })
     out = {
         "metric": "scaling_efficiency_N_to_4N",
+        # top-level value is THIS run on code at HEAD (ADVICE r2: don't
+        # headline a number from a superseded code state)
         "value": round(eff_2_8, 3),
         "unit": "ratio",
         "N": best[2],
@@ -169,6 +219,8 @@ def main() -> None:
         "hardware_calibration_iters_per_sec": cal,
         "hardware_efficiency_8_to_32_no_spark": round(cal_eff_8_32, 3),
         "repeats_per_level": REPEATS,
+        "corpus_clusters": N_CLUSTERS,
+        "run_log": prior_log,
         "note": (
             "same job, same input, fresh JVM per run, best-of-repeats "
             "interleaved. N=2 vs 4N=8 local cores (shuffle/input partitions "
@@ -178,7 +230,7 @@ def main() -> None:
             "range this box can evidence."
         ),
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -42,6 +42,12 @@ class DedupConfig:
 
     # --- clustering ---
     max_cc_iterations: int = 20
+    # edge count below which connected-components runs a one-collect driver
+    # union-find instead of the iterative distributed loop; 2M edges is
+    # ~32 MB Arrow-collected with dictionary-encoded urls — safe on any
+    # driver, and the distributed loop's per-round fixed job latency
+    # dominates far past this size
+    cc_driver_threshold: int = 2_000_000
 
     # --- execution ---
     shuffle_partitions: int = 32

@@ -31,7 +31,7 @@ def connected_components(
     max_iterations: int = 20,
     src_col: str = "url_a",
     dst_col: str = "url_b",
-    driver_threshold: int = 250_000,
+    driver_threshold: int = 2_000_000,
     n_edges: int | None = None,
 ) -> DataFrame:
     """edges(url_a, url_b) → labels(node, label); label = min url in component.
@@ -44,7 +44,7 @@ def connected_components(
     per-round job latency (2 shuffles + checkpoint + fingerprint, ~1s fixed
     each on an idle cluster) dominates — so small edge sets run a local
     union-find in ONE Arrow collect (urls dictionary-encoded to ints on
-    the driver, so 250k edges is a few MB, not hundreds). Past the
+    the driver, so 2M edges is ~32 MB, not gigabytes). Past the
     threshold (the 10^12-doc regime) the iterative hash-join loop runs.
     Both produce identical min-label results; the threshold only moves the
     serial-latency/parallelism tradeoff.

@@ -113,7 +113,10 @@ def dedup_pages(
         ).distinct()
         n_pairs = None  # containment edges added — count no longer known
 
-    labels = connected_components(edges, cfg.max_cc_iterations, n_edges=n_pairs)
+    labels = connected_components(
+        edges, cfg.max_cc_iterations, n_edges=n_pairs,
+        driver_threshold=cfg.cc_driver_threshold,
+    )
     assignments = (
         pages.select("url")
         .join(labels.withColumnRenamed("node", "url"), "url", "left")

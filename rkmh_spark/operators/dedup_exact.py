@@ -151,7 +151,10 @@ def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
 
 
 def simhash_band_candidates(
-    signatures: DataFrame, bucket_cap: int = 200, materialize: bool = False
+    signatures: DataFrame,
+    bucket_cap: int = 200,
+    materialize: bool = False,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Pairs colliding on any 16-bit quarter of the SimHash (≤3-bit
     Hamming neighbors always share a quarter, by pigeonhole).
@@ -185,12 +188,16 @@ def simhash_band_candidates(
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
 
+    # the census relation feeds both pair branches; persist only when a
+    # handle owner exists (materialize unpersists here, cleanup hands the
+    # handle to the caller) — the bare-lazy path forgoes the persist
+    # rather than leak a cached relation per call (ADVICE r2)
     w = Window.partitionBy("band", "key")
-    sized = (
-        banded.withColumn("sz", F.count("*").over(w))
-        .where(F.col("sz") >= 2)
-        .persist()
+    sized = banded.withColumn("sz", F.count("*").over(w)).where(
+        F.col("sz") >= 2
     )
+    if materialize or cleanup is not None:
+        sized = sized.persist()
     normal = sized.where(F.col("sz") <= bucket_cap)
     a, b = normal.alias("a"), normal.alias("b")
     normal_pairs = (
@@ -212,4 +219,6 @@ def simhash_band_candidates(
     if materialize:  # for callers that reuse the pair set across branches
         pairs = pairs.localCheckpoint(eager=True)
         sized.unpersist()
+    elif cleanup is not None:
+        cleanup.append(sized)
     return pairs

@@ -214,6 +214,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Approximate top-k: candidates from multi-table hyperplane buckets,
     DISTINCT (query, neighbor) pairs (a pair colliding in several tables
@@ -221,6 +222,8 @@ def lsh_topk(
 
     ``queries``: optional restriction of the query side (e.g. only new
     vectors probe the index); neighbors always come from ``embeddings``.
+    ``bucket_cap``: neighbor-shard size for the bipartite skew guard —
+    hot buckets are split into ceil(size/cap) shards.
     ``dim`` must equal the actual vector width — hyperplanes of the wrong
     width make zip_with emit nulls and silently collapse every bucket key
     to 0 (all vectors in ONE bucket: found + fixed in r2).
@@ -248,7 +251,7 @@ def lsh_topk(
         w = Window.partitionBy("bucket")
         nsz = nb.withColumn(
             "m",
-            F.ceil(F.count("*").over(w) / F.lit(1000)).cast("long"),
+            F.ceil(F.count("*").over(w) / F.lit(bucket_cap)).cast("long"),
         ).withColumn(
             "shard", F.pmod(F.xxhash64("neighbor_id"), F.col("m"))
         )

@@ -47,24 +47,113 @@ def discriminative_hash_tables(
     )
 
 
+def _ranked_tier_lists(
+    qhashes: DataFrame,
+    uniq: DataFrame,
+    panel_groups: DataFrame,
+    n_hashes: DataFrame,
+    prefix: str,
+) -> DataFrame:
+    """Per query url: the reference's ranked per-tier output
+    (rkmh.cpp:2688-2713) as two canonical strings.
+
+    - ``{prefix}_ranked``:  "group:hits/n_hashes;..." desc by hits, asc by
+      group name — the reference's ``name:sim;`` list, with sim printed as
+      the exact rational hits/hashnum instead of a formatted double (the
+      double is hits/hashnum in mkmh's sort_by_similarity, un-vendored in
+      the reference tree; the rational is lossless and avoids cross-engine
+      float formatting in the oracle gate).
+    - ``{prefix}_hits``: "12;3;0;" raw intersections in the SAME order —
+      the reference's ``lin_intersections`` column, verbatim semantics.
+
+    Every PANEL group appears (zero-hit groups rank last as "g:0/…"), like
+    the reference iterating all lineage tables. panel_groups is tiny
+    (distinct group values) → broadcast cross join, same resident-panel
+    mechanism as classify (rkmh.cpp:867-870).
+    """
+    urls = n_hashes.select("url")
+    hits = (
+        qhashes.join(uniq, "hash")
+        .groupBy("url", "group")
+        .agg(F.count("*").alias("h"))
+    )
+    full = (
+        urls.crossJoin(F.broadcast(panel_groups))
+        .join(hits, ["url", "group"], "left")
+        .select("url", "group", F.coalesce("h", F.lit(0)).alias("h"))
+    )
+    # order inside one collected array: array_sort on (−hits, group) structs
+    # is deterministic and avoids a per-group window shuffle
+    arr = full.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("h")).alias("nh"),
+                    F.col("group").alias("g"),
+                    F.col("h").alias("h"),
+                )
+            )
+        ).alias("arr")
+    )
+    joined = arr.join(n_hashes, "url")
+    return joined.select(
+        "url",
+        F.concat(
+            F.array_join(
+                F.transform(
+                    "arr",
+                    lambda x: F.concat_ws(
+                        "",
+                        x["g"],
+                        F.lit(":"),
+                        x["h"].cast("string"),
+                        F.lit("/"),
+                        F.col("n_hashes").cast("string"),
+                    ),
+                ),
+                ";",
+            ),
+            F.lit(";"),
+        ).alias(f"{prefix}_ranked"),
+        F.concat(
+            F.array_join(
+                F.transform("arr", lambda x: x["h"].cast("string")), ";"
+            ),
+            F.lit(";"),
+        ).alias(f"{prefix}_ranked_hits"),
+    )
+
+
 def two_tier_classify(
     query_pages: DataFrame,
     panel_pages: DataFrame,
     cfg: DedupConfig,
     group_col: str = "lang",
+    subgroup_col: str | None = None,
 ) -> DataFrame:
-    """→ (url, best_ref, shared, fail_*, best_group, group_hits).
+    """→ (url, best_ref, shared, fail_*, best_group, group_hits,
+    n_hashes, group_ranked, group_ranked_hits[, subgroup_* when
+    ``subgroup_col`` is given]).
 
     best_ref/shared: tier-1 sketch argmax vs individual panel refs.
     best_group/group_hits: tier-2 argmax of discriminative-hash hits
     (min-group tiebreak, deterministic).
+    group_ranked/group_ranked_hits: the reference's FULL ranked
+    ``lineage:sim;`` + raw-intersection lists (rkmh.cpp:2682-2715), one
+    entry per panel group incl. zero-hit groups. ``subgroup_col`` adds the
+    sublineage-analog pair over the finer grouping (the reference's
+    key[0] vs key[0:2] nesting — e.g. lang vs lang-source).
     """
     qsigs = compute_signatures(query_pages, cfg)
     psigs = compute_signatures(panel_pages, cfg)
     tier1 = classify_pages(qsigs, psigs, cfg, exhaustive=True)
 
     uniq = discriminative_hash_tables(panel_pages, cfg, group_col)
-    qhashes = hash_dump(query_pages.select("url", "text"), cfg)
+    # qhashes feeds 4+ plan branches (argmax hits, hashnum, both ranked
+    # tiers) — eager checkpoint so the mapInPandas shingle pass runs once
+    qhashes = hash_dump(query_pages.select("url", "text"), cfg).localCheckpoint(
+        eager=True
+    )
     hits = (
         qhashes.join(uniq, "hash")
         .groupBy("url", "group")
@@ -76,13 +165,49 @@ def two_tier_classify(
         .where(F.col("rk") == 1)
         .select("url", F.col("group").alias("best_group"), "group_hits")
     )
-    return tier1.join(best_group, "url", "left").select(
-        "url",
-        "best_ref",
-        "shared",
-        "fail_depth",
-        "fail_matches",
-        "fail_diff",
-        "best_group",
-        F.coalesce("group_hits", F.lit(0)).alias("group_hits"),
+    # hashnum in the reference's "max_shared/hashnum" (rkmh.cpp:2683):
+    # the read's own hash count after filters
+    n_hashes = qhashes.groupBy("url").agg(F.count("*").alias("n_hashes"))
+
+    ranked_g = _ranked_tier_lists(
+        qhashes,
+        uniq,
+        panel_pages.select(F.col(group_col).alias("group")).distinct(),
+        n_hashes,
+        "group",
     )
+    out = (
+        tier1.join(best_group, "url", "left")
+        .join(n_hashes, "url", "left")
+        .join(ranked_g, "url", "left")
+    )
+    sel = [
+        F.col("url"),
+        F.col("best_ref"),
+        F.col("shared"),
+        F.col("fail_depth"),
+        F.col("fail_matches"),
+        F.col("fail_diff"),
+        F.col("best_group"),
+        F.coalesce("group_hits", F.lit(0)).alias("group_hits"),
+        F.coalesce("n_hashes", F.lit(0)).alias("n_hashes"),
+        F.coalesce("group_ranked", F.lit("")).alias("group_ranked"),
+        F.coalesce("group_ranked_hits", F.lit("")).alias("group_ranked_hits"),
+    ]
+    if subgroup_col is not None:
+        uniq_sub = discriminative_hash_tables(panel_pages, cfg, subgroup_col)
+        ranked_s = _ranked_tier_lists(
+            qhashes,
+            uniq_sub,
+            panel_pages.select(F.col(subgroup_col).alias("group")).distinct(),
+            n_hashes,
+            "subgroup",
+        )
+        out = out.join(ranked_s, "url", "left")
+        sel += [
+            F.coalesce("subgroup_ranked", F.lit("")).alias("subgroup_ranked"),
+            F.coalesce("subgroup_ranked_hits", F.lit("")).alias(
+                "subgroup_ranked_hits"
+            ),
+        ]
+    return out.select(*sel)

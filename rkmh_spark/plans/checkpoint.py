@@ -145,6 +145,11 @@ class CheckpointManager:
 
         out = self._read(spark, name, path)
         lineage, checksum, total_rows = self._lineage(out)
+        # the parquet branch creates stage_path as a side effect of the
+        # write; the iceberg branch writes into the CATALOG warehouse, so
+        # the manifest dir must be created explicitly (ADVICE r2: iceberg
+        # mode crashed here with FileNotFoundError after a successful write)
+        os.makedirs(self.stage_path(name), exist_ok=True)
         with open(self._manifest_path(name), "w") as f:
             json.dump(
                 {

@@ -75,17 +75,24 @@ def _write_batch(df: DataFrame, root: str, batch_id: int) -> None:
     owns the hive-style partition ``root/batch=<id>`` and replays
     overwrite it — the standard idempotent-foreachBatch pattern. Readers
     use _read_all (drops the synthetic ``batch`` partition column)."""
-    import os
-
-    df.write.mode("overwrite").parquet(os.path.join(root, f"batch={batch_id}"))
+    df.write.mode("overwrite").parquet(f"{root.rstrip('/')}/batch={batch_id}")
 
 
 def _read_all(spark: SparkSession, root: str) -> DataFrame | None:
-    """Read every batch partition under ``root``; None if nothing written."""
-    import os
+    """Read every batch partition under ``root``; None if nothing written.
 
-    if not os.path.isdir(root) or not any(
-        name.startswith("batch=") for name in os.listdir(root)
+    Probes through Hadoop's FileSystem API, not os.listdir — the sink
+    dirs live wherever the Spark conf points (HDFS/S3/local); a driver-
+    local listdir silently returned None for remote roots, making every
+    micro-batch treat all stored state as absent (ADVICE r2)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None
+    if not any(
+        s.getPath().getName().startswith("batch=")
+        for s in fs.listStatus(path)
     ):
         return None
     return spark.read.option("basePath", root).parquet(root).drop("batch")
@@ -99,6 +106,7 @@ def incremental_dedup_stream(
     assignments_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    cms=None,
 ):
     """Incremental near-dup assignment for newly crawled pages.
 
@@ -127,7 +135,8 @@ def incremental_dedup_stream(
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         process_incremental_batch(
-            spark, batch, batch_id, cfg, signatures_dir, bands_dir, assignments_dir
+            spark, batch, batch_id, cfg, signatures_dir, bands_dir,
+            assignments_dir, cms=cms,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(
@@ -146,16 +155,33 @@ def process_incremental_batch(
     signatures_dir: str,
     bands_dir: str,
     assignments_dir: str,
+    cms=None,
 ) -> None:
     """One micro-batch of the incremental dedup loop (module-level so the
-    at-least-once replay semantics are unit-testable without a stream)."""
+    at-least-once replay semantics are unit-testable without a stream).
+
+    ``cms``: an optional pre-built CountMinSketchNP — when given and
+    ``cfg.min_occ`` is set, the reference's -M filter runs INSIDE the
+    signature kernel per micro-batch (the table broadcasts with the UDF
+    closure; zero shuffle, no exact depth-table rebuild per batch —
+    VERDICT r2 #8). The counter is built offline or by the ST2 stateful
+    counter; it is deliberately NOT updated here, because at-least-once
+    replays of a batch would double-count its shingles."""
     from pyspark.sql import functions as F
 
     from rkmh_spark.operators.components import connected_components
     from rkmh_spark.operators.lsh import band_buckets
     from rkmh_spark.operators.verify import verify_pairs
 
-    sigs_new = compute_signatures(batch, cfg).localCheckpoint(eager=True)
+    if cms is not None and cfg.min_occ is not None:
+        from rkmh_spark.operators.signatures import (
+            compute_signatures_min_occ_approx,
+        )
+
+        sigs_new = compute_signatures_min_occ_approx(batch, cfg, cms)
+    else:
+        sigs_new = compute_signatures(batch, cfg)
+    sigs_new = sigs_new.localCheckpoint(eager=True)
     bands_new = band_buckets(sigs_new, cfg).localCheckpoint(eager=True)
 
     stored_bands = _read_all(spark, bands_dir)
@@ -184,7 +210,8 @@ def process_incremental_batch(
     verified = verify_pairs(pairs, combined, cfg)
 
     labels = connected_components(
-        verified.select("url_a", "url_b"), cfg.max_cc_iterations
+        verified.select("url_a", "url_b"), cfg.max_cc_iterations,
+        driver_threshold=cfg.cc_driver_threshold,
     )
     # cluster-id stability: if any component member already holds an
     # assignment from an earlier batch, the whole component adopts the

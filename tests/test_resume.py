@@ -73,6 +73,78 @@ def test_lineage_rows_sum_to_total(spark, pages, tmp_path):
         assert m["wall_ms"] >= 0 and "checksum" in m
 
 
+class _FakeWriterV2:
+    """Stand-in for DataFrameWriterV2 wired to a directory 'warehouse':
+    ``createOrReplace`` materializes the table as parquet keyed by the
+    catalog identifier. Lets the iceberg branch of CheckpointManager.stage
+    execute end-to-end in a sandbox with no iceberg-spark-runtime jar
+    (Maven is unreachable here — documented in BASELINE.md). What this
+    does NOT test: Iceberg's own snapshot/commit protocol."""
+
+    def __init__(self, df, ident: str, warehouse: str):
+        self.df, self.ident, self.warehouse = df, ident, warehouse
+
+    def using(self, fmt: str):
+        assert fmt == "iceberg"
+        return self
+
+    def createOrReplace(self):
+        self.df.write.mode("overwrite").parquet(
+            os.path.join(self.warehouse, self.ident)
+        )
+
+
+def test_iceberg_branch_write_manifest_resume(spark, pages, tmp_path, monkeypatch):
+    """Exercises the exact code path production runs with a real catalog:
+    writeTo(...).using("iceberg").createOrReplace() → manifest → resume
+    skip → read-back via read.table. Regression for ADVICE r2: the
+    manifest open() crashed with FileNotFoundError after a successful
+    table write because only the parquet branch created the stage dir."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql.readwriter import DataFrameReader
+
+    warehouse = str(tmp_path / "warehouse")
+    os.makedirs(warehouse, exist_ok=True)
+    monkeypatch.setattr(
+        DataFrame, "writeTo", lambda self, ident: _FakeWriterV2(self, ident, warehouse)
+    )
+    monkeypatch.setattr(
+        DataFrameReader,
+        "table",
+        lambda self, ident: spark.read.parquet(os.path.join(warehouse, ident)),
+    )
+    monkeypatch.setattr(
+        "rkmh_spark.plans.checkpoint.iceberg_available", lambda s: True
+    )
+
+    root = tmp_path / "ck_ice"
+
+    def _run():
+        ckpt = CheckpointManager(
+            str(root), table_format="iceberg", catalog="ice", spark=spark
+        )
+        df = resumable_dedup(spark, pages, TEST_CONFIG, ckpt)
+        return sorted(map(tuple, df.collect())), ckpt
+
+    a1, ckpt = _run()
+    for st in ("signatures", "candidates", "pairs", "assignments"):
+        assert ckpt.is_complete(st), st
+        # table landed in the warehouse under the catalog identifier
+        assert os.path.isdir(
+            os.path.join(warehouse, f"ice.rkmh.stage_{st}")
+        ), st
+
+    # second run resumes: identical assignments, identical checksums
+    a2, ckpt2 = _run()
+    assert a1 == a2
+    for st in ("signatures", "pairs"):
+        assert ckpt2.manifest(st)["checksum"] == ckpt.manifest(st)["checksum"]
+
+    # cross-format parity: parquet mode on a fresh root agrees row-for-row
+    a3, _ = _assignments(spark, pages, tmp_path / "ck_pq")
+    assert a1 == a3
+
+
 def test_iceberg_mode_is_config_switchable(spark, tmp_path):
     """The Iceberg code path exists and is selected by config; in this
     sandbox (no iceberg-spark-runtime jar) it must fail EARLY with a
