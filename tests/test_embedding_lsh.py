@@ -75,3 +75,38 @@ def test_wrong_dim_hyperplanes_would_collapse_buckets(spark, planted):
     assert bad.select("bucket").distinct().count() == 1  # the failure mode
     good = hyperplane_buckets(planted, dim=64, n_planes=8, seed=42)
     assert good.select("bucket").distinct().count() > 1
+
+
+def test_lsh_topk_hot_bucket_sharded_complete(spark):
+    """VERDICT r2 #5: the bipartite skew guard's shard cap is a real
+    parameter. All vectors share one sign-pattern bucket (tiny noise
+    around one direction), so a small ``bucket_cap`` forces multi-shard
+    replication — the (query, neighbor) pair set must stay COMPLETE:
+    results identical to an uncapped run and to the exact brute force."""
+    import random
+
+    rng = random.Random(123)
+    dim, n = 8, 20
+    base = [1.0, -1.0, 0.5, -0.5, 0.25, -0.25, 2.0, -2.0]
+    rows = [
+        (
+            i,
+            [v + rng.uniform(-0.01, 0.01) for v in base],
+        )
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = lsh_topk(
+        emb, k=5, dim=dim, n_planes=4, n_tables=1, bucket_cap=4
+    )
+    uncapped = lsh_topk(
+        emb, k=5, dim=dim, n_planes=4, n_tables=1, bucket_cap=10**9
+    )
+    exact = brute_force_topk(emb, emb.select("vec_id", "embedding"), k=5)
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(map(tuple, uncapped.collect()))
+    c = sorted(map(tuple, exact.collect()))
+    assert len(a) == n * 5
+    assert a == b  # sharding changed the plan, not the result
+    assert a == c  # one bucket holds everything → candidates are complete
