@@ -156,11 +156,16 @@ def _run_level(cores: int) -> dict:
     scaling efficiency.
     """
     script = _CHILD.format(repo=REPO, pages=PAGES)
-    proc = subprocess.run(
-        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", script,
-         str(cores)],
-        capture_output=True, text=True, timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", script,
+             str(cores)],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("SCALING_RUN_TIMEOUT", "7200")),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"run at {cores} cores timed out — skipping", flush=True)
+        return None
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             n, n_pairs, n_assign, wall = line.split()[1:]
@@ -171,7 +176,8 @@ def _run_level(cores: int) -> dict:
                 "assignments": int(n_assign),
                 "wall_sec": float(wall),
             }
-    raise RuntimeError(f"run at {cores} cores failed:\n{proc.stderr[-2000:]}")
+    print(f"run at {cores} cores failed:\n{proc.stderr[-2000:]}", flush=True)
+    return None
 
 
 def main() -> None:
@@ -182,14 +188,23 @@ def main() -> None:
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(REPEATS):  # interleaved repeats vs noisy neighbors
         for c in levels:
-            runs[c].append(_run_level(c))
+            r = _run_level(c)
+            if r is not None:
+                runs[c].append(r)
+            print(f"level {c}: {r}", flush=True)
 
-    best = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in runs.items()}
+    if not all(runs[c] for c in (2, 8)):
+        raise RuntimeError(f"no successful run at a required level: {runs}")
+    best = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in runs.items() if rs}
     for c, r in best.items():
         r["pages_per_sec"] = round(r["pages"] / r["wall_sec"], 1)
 
     eff_2_8 = (best[8]["pages_per_sec"] / best[2]["pages_per_sec"]) / 4.0
-    eff_8_32 = (best[32]["pages_per_sec"] / best[8]["pages_per_sec"]) / 4.0
+    eff_8_32 = (
+        (best[32]["pages_per_sec"] / best[8]["pages_per_sec"]) / 4.0
+        if 32 in best
+        else None
+    )
     cal_eff_8_32 = (cal["32"] / cal["8"]) / 4.0
 
     prior_log: list = []
@@ -215,7 +230,7 @@ def main() -> None:
         "N": best[2],
         "4N": best[8],
         "efficiency_2_to_8": round(eff_2_8, 3),
-        "efficiency_8_to_32": round(eff_8_32, 3),
+        "efficiency_8_to_32": round(eff_8_32, 3) if eff_8_32 is not None else None,
         "hardware_calibration_iters_per_sec": cal,
         "hardware_efficiency_8_to_32_no_spark": round(cal_eff_8_32, 3),
         "repeats_per_level": REPEATS,

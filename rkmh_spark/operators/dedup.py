@@ -59,20 +59,37 @@ def dedup_pages(
     asymmetric dups become extra edges for clustering — catches
     truncation/mirror-with-chrome dups whose symmetric Jaccard is low.
     """
+    to_unpersist: list = []
     if cfg.min_occ is not None:
         # F4 (rkmh -M): global-occurrence filter — relational rebuild (the
         # keep-set is unbroadcastable at scale); composes -I when both set
         sigs = compute_signatures_min_occ(pages, cfg)
-    else:
-        drop = None
-        if cfg.max_doc_freq is not None:
-            dfreq = shingle_doc_frequency(pages, cfg)
+    elif cfg.max_doc_freq is not None:
+        # -I: the hot set is small by construction for sane thresholds
+        # (boilerplate), but COUNT before collecting — a low threshold on
+        # a huge corpus would otherwise OOM the driver. Past the guard,
+        # the relational anti-join spelling (same machinery as -M) drops
+        # hot shingles with a shuffle instead of a broadcast.
+        dfreq = shingle_doc_frequency(pages, cfg).persist()
+        n_hot = (
+            dfreq.where(F.col("df") > cfg.max_doc_freq)
+            .limit(cfg.hot_broadcast_limit + 1)
+            .count()
+        )
+        if n_hot > cfg.hot_broadcast_limit:
+            # dfreq feeds the lazy doc-freq join — unpersist only after
+            # the pairs count materializes the whole signature chain
+            sigs = compute_signatures_min_occ(pages, cfg, doc_freq=dfreq)
+            to_unpersist.append(dfreq)
+        else:
             drop = hot_shingles(dfreq, cfg.max_doc_freq)
-        sigs = compute_signatures(pages, cfg, drop_hashes=drop)
+            sigs = compute_signatures(pages, cfg, drop_hashes=drop)
+            dfreq.unpersist()
+    else:
+        sigs = compute_signatures(pages, cfg)
     sigs = sigs.persist()
 
     multi_use = containment_threshold is not None
-    to_unpersist: list = []
     if use_lsh:
         buckets = band_buckets(sigs, cfg)
         # containment path reads candidates twice → eager checkpoint;

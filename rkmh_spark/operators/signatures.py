@@ -176,15 +176,17 @@ def compute_signatures_min_occ(
     sketching — the two reference filters compose exactly as in the
     reference's doReadDepth branch.
     """
-    if cfg.min_occ is None:
-        raise ValueError("compute_signatures_min_occ requires cfg.min_occ")
+    if cfg.min_occ is None and cfg.max_doc_freq is None:
+        raise ValueError(
+            "compute_signatures_min_occ requires cfg.min_occ and/or "
+            "cfg.max_doc_freq (relational -I-only mode)"
+        )
     from rkmh_spark.operators.docfreq import hash_depth_table, shingle_doc_frequency
 
     k, s, seed = cfg.k, cfg.sketch_size, cfg.hash_seed
     num_perms = cfg.num_bands * cfg.band_rows
-    min_occ = int(cfg.min_occ)
 
-    if depth is None:
+    if cfg.min_occ is not None and depth is None:
         depth = hash_depth_table(pages, cfg, text_col=text_col)
 
     def explode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -219,12 +221,19 @@ def compute_signatures_min_occ(
             ]
         ),
     )
-    # inner join loses nothing: every real hash of every doc appears in the
-    # depth table (the doc itself contributed); the cnt=0 placeholder row
-    # of empty docs left-joins to NULL depth → keep=false, cnt sum 0.
-    joined = per_doc.join(depth, "hash", "left").withColumn(
-        "keep", F.coalesce(F.col("depth"), F.lit(0)) >= F.lit(min_occ)
-    )
+    if cfg.min_occ is not None:
+        # the join loses nothing: every real hash of every doc appears in
+        # the depth table (the doc itself contributed); the cnt=0
+        # placeholder row of empty docs left-joins to NULL depth →
+        # keep=false, cnt sum 0.
+        joined = per_doc.join(depth, "hash", "left").withColumn(
+            "keep",
+            F.coalesce(F.col("depth"), F.lit(0)) >= F.lit(int(cfg.min_occ)),
+        )
+    else:
+        # -I-only relational mode (hot set too large to broadcast): every
+        # real hash starts kept; the doc-freq join below applies the drop
+        joined = per_doc.withColumn("keep", F.col("cnt") > 0)
     if cfg.max_doc_freq is not None:
         if doc_freq is None:
             doc_freq = shingle_doc_frequency(pages, cfg, text_col=text_col)

@@ -100,18 +100,24 @@ def test_iceberg_branch_write_manifest_resume(spark, pages, tmp_path, monkeypatc
     skip → read-back via read.table. Regression for ADVICE r2: the
     manifest open() crashed with FileNotFoundError after a successful
     table write because only the parquet branch created the stage dir."""
-    from pyspark.sql import DataFrame
-    from pyspark.sql.readwriter import DataFrameReader
+    # Spark 4: sessions hand out pyspark.sql.classic.* subclasses that
+    # OVERRIDE the base-class methods — patch the classes the instances
+    # actually resolve against
+    df_cls = type(spark.range(1))
+    reader_cls = type(spark.read)
 
     warehouse = str(tmp_path / "warehouse")
     os.makedirs(warehouse, exist_ok=True)
     monkeypatch.setattr(
-        DataFrame, "writeTo", lambda self, ident: _FakeWriterV2(self, ident, warehouse)
+        df_cls, "writeTo", lambda self, ident: _FakeWriterV2(self, ident, warehouse)
     )
+    real_parquet = reader_cls.parquet
     monkeypatch.setattr(
-        DataFrameReader,
+        reader_cls,
         "table",
-        lambda self, ident: spark.read.parquet(os.path.join(warehouse, ident)),
+        lambda self, ident: real_parquet(
+            self, os.path.join(warehouse, ident)
+        ),
     )
     monkeypatch.setattr(
         "rkmh_spark.plans.checkpoint.iceberg_available", lambda s: True
