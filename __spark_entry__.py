@@ -410,13 +410,21 @@ def q_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates via 16-bit band collisions (rows-only)."""
+    """SimHash near-dup candidates via 16-bit band collisions.
+
+    materialize=True: the census relation feeds both the normal and the
+    hot-bucket branch — the eager-checkpoint path computes it once and
+    unpersists (the r2 lazy default either leaked a cached relation or,
+    after the ADVICE fix, recomputed the census per branch: measured 3×
+    on this query)."""
     from rkmh_spark.operators.dedup_exact import (
         simhash_band_candidates,
         simhash_signatures,
     )
 
-    return simhash_band_candidates(simhash_signatures(_docs(spark, sf_dir)))
+    return simhash_band_candidates(
+        simhash_signatures(_docs(spark, sf_dir)), materialize=True
+    )
 
 
 def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
