@@ -27,12 +27,21 @@ from rkmh_spark.operators.signatures import compute_signatures
 
 
 def discriminative_hash_tables(
-    panel_pages: DataFrame, cfg: DedupConfig, group_col: str = "lang"
+    panel_pages: DataFrame,
+    cfg: DedupConfig,
+    group_col: str = "lang",
+    panel_hashes: DataFrame | None = None,
 ) -> DataFrame:
-    """→ (hash, group) — hashes unique to exactly one group of the panel."""
+    """→ (hash, group) — hashes unique to exactly one group of the panel.
+
+    ``panel_hashes``: optional precomputed (url, hash) relation — the
+    two-tier caller derives BOTH granularity tables from one shingle
+    pass over the panel instead of re-hashing it per tier.
+    """
+    if panel_hashes is None:
+        panel_hashes = hash_dump(panel_pages.select("url", "text"), cfg)
     gh = (
-        hash_dump(panel_pages.select("url", "text"), cfg)
-        .join(panel_pages.select("url", group_col), "url")
+        panel_hashes.join(panel_pages.select("url", group_col), "url")
         .select(F.col(group_col).alias("group"), "hash")
         .distinct()
     )
@@ -148,7 +157,13 @@ def two_tier_classify(
     psigs = compute_signatures(panel_pages, cfg)
     tier1 = classify_pages(qsigs, psigs, cfg, exhaustive=True)
 
-    uniq = discriminative_hash_tables(panel_pages, cfg, group_col)
+    # ONE shingle pass over the panel feeds both granularity tables
+    phashes = hash_dump(panel_pages.select("url", "text"), cfg)
+    if subgroup_col is not None:
+        phashes = phashes.localCheckpoint(eager=True)
+    uniq = discriminative_hash_tables(
+        panel_pages, cfg, group_col, panel_hashes=phashes
+    )
     # qhashes feeds 4+ plan branches (argmax hits, hashnum, both ranked
     # tiers) — eager checkpoint so the mapInPandas shingle pass runs once
     qhashes = hash_dump(query_pages.select("url", "text"), cfg).localCheckpoint(
@@ -195,7 +210,9 @@ def two_tier_classify(
         F.coalesce("group_ranked_hits", F.lit("")).alias("group_ranked_hits"),
     ]
     if subgroup_col is not None:
-        uniq_sub = discriminative_hash_tables(panel_pages, cfg, subgroup_col)
+        uniq_sub = discriminative_hash_tables(
+            panel_pages, cfg, subgroup_col, panel_hashes=phashes
+        )
         ranked_s = _ranked_tier_lists(
             qhashes,
             uniq_sub,
