@@ -130,7 +130,16 @@ cfg = DedupConfig(k=12, sketch_size=128, num_bands=36, band_rows=4,
                   jaccard_threshold=0.6, shuffle_partitions=cores * 4)
 spark = get_spark(app_name=f"scal{{cores}}", cores=cores,
                   shuffle_partitions=cores * 4)
-pages = spark.read.parquet({pages!r}).repartition(cores * 4)
+# prune to the columns the pipeline reads BEFORE the repartition shuffle:
+# html/warc_ts/lang are dead weight here and shuffling them was ~40% of
+# the disk-churn that produced the 640k-page cliff (BASELINE.md r3).
+# NOTE: runs before 2026-08-17 shuffled all columns — pages/sec across
+# harness versions are not directly comparable, efficiency ratios are.
+pages = (
+    spark.read.parquet({pages!r})
+    .select("url", "text")
+    .repartition(cores * 4)
+)
 n = pages.count()
 # untimed warmup: JIT + python-worker spin-up are per-JVM costs a
 # long-lived cluster amortizes; steady-state throughput is the metric

@@ -87,3 +87,23 @@ def test_assignments_cover_all_urls_once(spark):
     n_pages = df.count()
     assert result.assignments.count() == n_pages
     assert result.assignments.select("url").distinct().count() == n_pages
+
+
+def test_assignments_invariant_across_parallelism(spark):
+    """The scaling protocol's hidden correctness claim, pinned: the SAME
+    input at different shuffle-partition counts yields byte-identical
+    assignments (observed at 2/8/32 cores on the 400k-page bench; this
+    guards the min-label CC rule and banding against partition-order
+    nondeterminism)."""
+    import dataclasses
+
+    from rkmh_spark.operators.dedup import dedup_pages
+    from rkmh_spark.sources.pages import pages_dataframe
+
+    pages = pages_dataframe(spark, n_clusters=20, dup_rate=0.6, seed=77)
+    outs = []
+    for parts in (3, 17):
+        cfg = dataclasses.replace(TEST_CONFIG, shuffle_partitions=parts)
+        res = dedup_pages(pages.repartition(parts), cfg)
+        outs.append(sorted(map(tuple, res.assignments.collect())))
+    assert outs[0] == outs[1]
