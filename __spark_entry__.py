@@ -666,6 +666,16 @@ def q_sketch_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4 line-level dedup: window each doc into 10-word lines
+    (testdata text has no newlines), drop lines shared by 2+ docs, keep
+    per-doc line order. Fully relational — no UDF."""
+    from rkmh_spark.operators.line_dedup import line_dedup, window_text_lines
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return line_dedup(window_text_lines(docs), max_line_df=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -708,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_sketch": q_containment_sketch,
         "simhash_bands": q_simhash_bands,
         "two_tier_classify": q_two_tier_classify,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -1130,4 +1141,36 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _lit.winnow_fingerprints_sql(k=8, w=4),
         "two_tier_classify": _lit.two_tier_classify_sql(),
         "bpe_real_token_counts": _lit.bpe_real_token_counts_sql(),
+        # CCNet/C4 line dedup — pure relational oracle (no hashing), so it
+        # evaluates at whatever sf the driver registers
+        "line_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, words,
+                       unnest(range(0, CAST(ceil(len(words) / 10.0) AS INT)))
+                           AS pos
+                FROM w
+            ),
+            lines AS (
+                SELECT doc_id, pos,
+                       array_to_string(words[(pos*10+1):(pos*10+10)], ' ')
+                           AS line
+                FROM idx
+            ),
+            dfc AS (
+                SELECT line, count(DISTINCT doc_id) AS line_df
+                FROM lines WHERE trim(line) <> '' GROUP BY line
+            )
+            SELECT l.doc_id,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN coalesce(d.line_df, 0) <= 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(
+                       CASE WHEN coalesce(d.line_df, 0) <= 1 THEN l.line END,
+                       chr(10) ORDER BY l.pos), '') AS text_dedup
+            FROM lines l LEFT JOIN dfc d USING (line)
+            GROUP BY l.doc_id
+        """,
     }

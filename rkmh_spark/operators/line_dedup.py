@@ -1,0 +1,99 @@
+"""Line-level dedup — the CCNet/C4 web-corpus cleaning step (public
+method: Wenzek et al., "CCNet", LREC 2020; Raffel et al., C4 §2.2 —
+drop lines duplicated across documents, keep the rest of the doc).
+
+Not in the reference (rkmh operates on whole reads), but a first-class
+training-data-pipeline operator per the task brief. Fully relational —
+split, posexplode, one distinct-doc-count shuffle on the line, ordered
+reassembly — no Python UDF anywhere, so Catalyst plans the whole thing.
+
+Scale notes: the wide shuffle key is the line STRING; at 10^12 docs,
+substitute xxhash64(line) as the join/count key (collision-safe at these
+cardinalities for dedup purposes) so shuffles carry 8 bytes instead of
+the text — same plan shape. Reassembly's collect_list is bounded by
+lines-per-document, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def line_dedup(
+    documents: DataFrame,
+    max_line_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """→ (id, n_lines, n_kept, text_dedup).
+
+    Drops every line that appears in MORE THAN ``max_line_df`` distinct
+    documents (blank/whitespace lines are never counted as boilerplate
+    and are always kept); remaining lines are reassembled in original
+    order with ``sep``. A document whose every line is boilerplate
+    yields an empty string — the caller's length filter removes it, same
+    as C4's pipeline.
+    """
+    lines = documents.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    df_tbl = (
+        lines.where(F.trim("line") != "")
+        .groupBy("line")
+        .agg(F.count_distinct("id").alias("line_df"))
+    )
+    kept = (
+        lines.join(df_tbl, "line", "left")
+        .withColumn(
+            "keep", F.coalesce(F.col("line_df"), F.lit(0)) <= max_line_df
+        )
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                sep,
+            ).alias("text_dedup"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def window_text_lines(
+    documents: DataFrame,
+    words_per_line: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reshape single-line space-separated text into ``words_per_line``-word
+    lines joined by '\\n' (the testdata documents carry no newlines; this
+    gives line_dedup a deterministic, SQL-reproducible line structure).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(words_per_line)).cast("int")
+    lines = F.transform(
+        F.when(n_lines >= 1, F.sequence(F.lit(0), n_lines - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.array_join(
+            F.slice(words, i * words_per_line + 1, words_per_line), " "
+        ),
+    )
+    return documents.select(
+        F.col(id_col), F.array_join(lines, "\n").alias(text_col)
+    )

@@ -1,0 +1,59 @@
+"""CCNet/C4-style line-level dedup (operators/line_dedup.py)."""
+
+from rkmh_spark.operators.line_dedup import line_dedup, window_text_lines
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_lines_dropped_order_kept(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, f"alpha one\n{boiler}\nalpha two"),
+        (1, f"{boiler}\nbeta one\nbeta two"),
+        (2, "gamma only unique lines\ngamma second"),
+    ]
+    out = {
+        r["doc_id"]: r for r in line_dedup(_docs(spark, rows)).collect()
+    }
+    assert out[0]["text_dedup"] == "alpha one\nalpha two"
+    assert out[1]["text_dedup"] == "beta one\nbeta two"
+    assert out[2]["text_dedup"] == "gamma only unique lines\ngamma second"
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 2
+
+
+def test_all_boilerplate_doc_becomes_empty(spark):
+    rows = [(0, "same\nsame2"), (1, "same\nsame2"), (2, "same\nother")]
+    out = {
+        r["doc_id"]: r for r in line_dedup(_docs(spark, rows)).collect()
+    }
+    assert out[0]["text_dedup"] == "" and out[0]["n_kept"] == 0
+    assert out[2]["text_dedup"] == "other"
+
+
+def test_blank_lines_never_counted_as_boilerplate(spark):
+    rows = [(0, "a\n\nb"), (1, "c\n\nd")]
+    out = {
+        r["doc_id"]: r for r in line_dedup(_docs(spark, rows)).collect()
+    }
+    # the empty middle line is shared by both docs but is kept
+    assert out[0]["text_dedup"] == "a\n\nb"
+
+
+def test_max_line_df_threshold(spark):
+    rows = [(i, "common line\nuniq %d" % i) for i in range(3)]
+    out2 = {
+        r["doc_id"]: r
+        for r in line_dedup(_docs(spark, rows), max_line_df=3).collect()
+    }
+    assert out2[0]["text_dedup"].startswith("common line")  # df=3 <= 3 kept
+
+
+def test_window_text_lines_shapes(spark):
+    rows = [(0, " ".join(f"w{i}" for i in range(23)))]
+    out = window_text_lines(_docs(spark, rows)).collect()[0]["text"]
+    lines = out.split("\n")
+    assert len(lines) == 3
+    assert lines[0] == " ".join(f"w{i}" for i in range(10))
+    assert lines[2] == "w20 w21 w22"
