@@ -676,6 +676,14 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(window_text_lines(docs), max_line_df=1)
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (integer-only): word/bigram totals,
+    distincts, and top-gram counts per doc."""
+    from rkmh_spark.functions.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -719,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_bands": q_simhash_bands,
         "two_tier_classify": q_two_tier_classify,
         "line_dedup": q_line_dedup,
+        "repetition_scores": q_repetition_scores,
     }
 
 
@@ -1172,5 +1181,49 @@ def oracle_sql() -> dict[str, str]:
                        chr(10) ORDER BY l.pos), '') AS text_dedup
             FROM lines l LEFT JOIN dfc d USING (line)
             GROUP BY l.doc_id
+        """,
+        # Gopher repetition signals — all-integer, pure relational
+        "repetition_scores": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            wstats AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_words,
+                       CAST(count(*) AS BIGINT) AS n_distinct_words,
+                       CAST(max(c) AS BIGINT) AS top_words_count
+                FROM (
+                    SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id, unnest(words) AS g FROM w)
+                    GROUP BY doc_id, g
+                )
+                GROUP BY doc_id
+            ),
+            b AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, len(words)),
+                           i -> words[i] || ' ' || words[i+1]
+                       ) AS bg
+                FROM w
+            ),
+            bstats AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+                       CAST(max(c) AS BIGINT) AS top_bigrams_count
+                FROM (
+                    SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+                    GROUP BY doc_id, g
+                )
+                GROUP BY doc_id
+            )
+            SELECT ws.doc_id, ws.n_words, ws.n_distinct_words,
+                   ws.top_words_count,
+                   coalesce(bs.n_bigrams, 0) AS n_bigrams,
+                   coalesce(bs.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+                   coalesce(bs.top_bigrams_count, 0) AS top_bigrams_count
+            FROM wstats ws LEFT JOIN bstats bs USING (doc_id)
         """,
     }

@@ -59,6 +59,60 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 — public:
+    documents dominated by one repeated n-gram are low-quality) as
+    ALL-INTEGER per-doc signals, ratio-free so the oracle compare never
+    touches cross-engine float formatting:
+
+    n_words / n_distinct_words / top_word_count,
+    n_bigrams / n_distinct_bigrams / top_bigram_count.
+
+    Fully relational: word + adjacent-bigram arrays from one split,
+    exploded, ONE groupBy per granularity — no UDF. At 10^12 docs the
+    shuffle key should be xxhash64(gram) (same note as line_dedup).
+    """
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.when(
+            F.size(words) >= 2, F.sequence(F.lit(0), F.size(words) - 2)
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), words.alias("w"), bigrams.alias("b")
+    )
+
+    def _stats(col: str, prefix: str) -> DataFrame:
+        g = (
+            base.select("id", F.explode_outer(col).alias("g"))
+            .groupBy("id", "g")
+            .agg(F.count("g").alias("c"))  # count(g): null rows → 0
+        )
+        return g.groupBy("id").agg(
+            F.sum("c").alias(f"n_{prefix}"),
+            F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).alias(
+                f"n_distinct_{prefix}"
+            ),
+            F.max("c").alias(f"top_{prefix}_count"),
+        )
+
+    out = _stats("w", "words").join(_stats("b", "bigrams"), "id")
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_words",
+        "n_distinct_words",
+        "top_words_count",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "top_bigrams_count",
+    )
+
+
 def lang_score_columns(text_col: str = "text") -> dict[str, Column]:
     """Per-language stopword hit counts — the n-gram-panel language-ID
     heuristic (discriminative-token classification, rkmh hpv16 analog

@@ -57,3 +57,24 @@ def test_window_text_lines_shapes(spark):
     assert len(lines) == 3
     assert lines[0] == " ".join(f"w{i}" for i in range(10))
     assert lines[2] == "w20 w21 w22"
+
+
+def test_repetition_signals_fixture(spark):
+    """Gopher repetition signals on a hand-computed fixture."""
+    from rkmh_spark.functions.text import repetition_signals
+
+    rows = [
+        (0, "a b a b a"),       # words: a×3 b×2; bigrams: "a b"×2 "b a"×2
+        (1, "x"),               # single word: zero bigrams
+        (2, "u v w"),           # all unique
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_signals(_docs(spark, rows)).collect()
+    }
+    assert out[0]["n_words"] == 5 and out[0]["n_distinct_words"] == 2
+    assert out[0]["top_words_count"] == 3
+    assert out[0]["n_bigrams"] == 4 and out[0]["n_distinct_bigrams"] == 2
+    assert out[0]["top_bigrams_count"] == 2
+    assert out[1]["n_bigrams"] == 0 and out[1]["top_bigrams_count"] == 0
+    assert out[2]["top_words_count"] == 1 and out[2]["n_bigrams"] == 2
