@@ -132,15 +132,20 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = line
         elif ftype == 2:  # Up
             rec = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-recursion
+        elif ftype == 1:  # Sub: rec[x] = line[x] + rec[x-bpp] — per-lane
+            # prefix sum mod 256 (vectorized; the recursion is within a
+            # byte lane, independent across the bpp lanes)
+            rec = np.empty(stride, dtype=np.int64)
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.int64)
+            rec = (rec & 0xFF).astype(np.int32)
+        elif ftype in (3, 4):  # Average / Paeth need up+left recursion
             rec = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 left = rec[x - bpp] if x >= bpp else 0
                 up = prev[x]
                 ul = prev[x - bpp] if x >= bpp else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (left + up) // 2
                 else:
                     pred = _paeth(int(left), int(up), int(ul))

@@ -28,6 +28,8 @@ SCALE_PATH_QUERIES = [
     "token_docfreq",
     "pricing_summary",
     "brand_revenue",
+    "line_dedup",          # r3: CCNet line dedup — one df shuffle, no BNL
+    "repetition_scores",   # r3: Gopher signals — groupBys only
 ]
 
 
