@@ -12,7 +12,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
 
 from rkmh_spark.config import DedupConfig
 from rkmh_spark.operators.components import connected_components
