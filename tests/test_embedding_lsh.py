@@ -110,3 +110,23 @@ def test_lsh_topk_hot_bucket_sharded_complete(spark):
     assert len(a) == n * 5
     assert a == b  # sharding changed the plan, not the result
     assert a == c  # one bucket holds everything → candidates are complete
+
+
+def test_ivf_topk_recall_and_determinism(spark, planted):
+    """IVF coarse-quantizer ANN (the brief's named scale-path variant):
+    planted near-dup pairs (cos ≈ 0.988) must surface as rank-1 for ≥90%
+    of planted queries with n_probe=4 of 8 lists, and the seeded
+    quantizer must make the whole result deterministic."""
+    from rkmh_spark.operators.similarity import ivf_topk
+
+    out1 = ivf_topk(planted, k=3, n_centroids=8, n_probe=4, seed=5)
+    rows = out1.collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
+    # planted queries are ids >= 100000, each a near-copy of id-100000
+    planted_q = [q for q in top1 if q >= 100000]
+    assert len(planted_q) >= 10
+    hits = sum(1 for q in planted_q if top1[q] == q - 100000)
+    assert hits / len(planted_q) >= 0.9, (hits, len(planted_q))
+
+    out2 = ivf_topk(planted, k=3, n_centroids=8, n_probe=4, seed=5)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
