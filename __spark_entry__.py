@@ -462,6 +462,27 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer top-1 for the planted near-dup queries.
+
+    Oracle validity mirrors embedding_lsh_topk: each planted query and
+    its origin vector are near-identical (cos≈0.988), so they share a
+    nearest centroid — the true top-1 is ALWAYS in the probed lists, and
+    exact re-ranking over a candidate superset containing the true top-1
+    returns exactly the brute-force top-1. The quantizer is a seeded
+    NumPy k-means++ over an id-sorted hash-sample → deterministic."""
+    from rkmh_spark.operators.similarity import ivf_topk
+
+    emb = _planted_embeddings(spark, sf_dir)
+    return ivf_topk(
+        emb,
+        k=1,
+        n_centroids=16,
+        n_probe=4,
+        queries=emb.where(F.col("vec_id") >= 100000),
+    )
+
+
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment dups, exact relational spelling: doc pairs where one
     text occurs verbatim inside the other (J4 exact confirmation).
@@ -716,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash_signatures,
         "minhash_signatures": q_minhash_signatures,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "search_hits": q_search_hits,
         "sketch_json": q_sketch_json,
@@ -1037,6 +1059,26 @@ def oracle_sql() -> dict[str, str]:
         # collide in >=1 of the 4 seeded tables) → same oracle as exact
         "embedding_dup_pairs_lsh": _EMB_DUP_SQL,
         "embedding_lsh_topk": f"""
+            {_EMB_PLANTED_CTE},
+            scored AS (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       round(list_dot_product(q.v, n.v)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+                FROM e q JOIN e n ON q.vec_id <> n.vec_id
+                WHERE q.vec_id >= 100000
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS rank FROM scored
+            ) WHERE rank <= 1
+        """,
+        # IVF top-1 == brute-force top-1 on the planted table: the true
+        # top-1 (the near-identical origin) always shares the query's
+        # nearest centroid, so it is always a candidate (see
+        # q_embedding_ivf_topk docstring)
+        "embedding_ivf_topk": f"""
             {_EMB_PLANTED_CTE},
             scored AS (
                 SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -259,14 +259,24 @@ def real_decode_features(payload: bytes, kind: str, dim: int = 16) -> np.ndarray
     codec libraries (JPEG, MP4, ...) — honest stub boundary preserved.
     """
     fmt = sniff(payload)
-    if fmt == "wav":
-        return audio_features(*decode_wav(payload), dim=dim)
-    if fmt == "png":
-        return image_features(decode_png(payload), dim=dim)
-    if fmt == "ppm":
-        return image_features(decode_ppm(payload), dim=dim)
+    try:
+        if fmt == "wav":
+            return audio_features(*decode_wav(payload), dim=dim)
+        if fmt == "png":
+            return image_features(decode_png(payload), dim=dim)
+        if fmt == "ppm":
+            return image_features(decode_ppm(payload), dim=dim)
+        if fmt == "jpeg":
+            return image_features(decode_jpeg(payload), dim=dim)
+    except UnsupportedMediaError:
+        raise
+    except (struct.error, zlib.error, ValueError, IndexError) as e:
+        # truncated/malformed payloads surface as the documented honest
+        # boundary, not a raw struct/zlib error that fails the whole
+        # mapInPandas task (ADVICE r3)
+        raise UnsupportedMediaError(f"malformed {fmt} payload: {e}") from e
     raise UnsupportedMediaError(
         f"payload format not decodable without external codec libs "
         f"(sniffed: {fmt!r}, kind: {kind}); supported here: PCM WAV, "
-        f"8-bit PNG, binary PPM/PGM"
+        f"8-bit PNG, binary PPM/PGM, baseline JPEG"
     )

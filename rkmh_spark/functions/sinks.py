@@ -104,11 +104,14 @@ def read_sketch_json(spark, path: str, cfg: DedupConfig | None = None) -> DataFr
         k_field = (
             str(cfg.k) if isinstance(cfg.k, int) else ",".join(map(str, cfg.k))
         )
+        # eqNullSafe negation: a row with NULL kmer/hashSeed/sketchSize
+        # (corrupt or foreign JSON) must FAIL validation, not three-value-
+        # logic its way past the != predicate (ADVICE r3)
         bad = df.where(
-            (F.col("kmer") != F.lit(k_field))
-            | (F.col("hashSeed") != F.lit(cfg.hash_seed))
-            | (F.col("sketchSize") != F.lit(cfg.sketch_size))
-            | (F.col("hashType") != F.lit("MurmurHash3_x64_128"))
+            ~F.col("kmer").eqNullSafe(F.lit(k_field))
+            | ~F.col("hashSeed").eqNullSafe(F.lit(cfg.hash_seed))
+            | ~F.col("sketchSize").eqNullSafe(F.lit(cfg.sketch_size))
+            | ~F.col("hashType").eqNullSafe(F.lit("MurmurHash3_x64_128"))
         )
         if bad.limit(1).count():
             r = bad.first()

@@ -200,17 +200,38 @@ def connected_components_star(
 def _driver_union_find(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """Small-graph fast path: exact union-find on Arrow-collected edges.
 
-    Urls are dictionary-encoded to dense ints sorted lexicographically, so
-    the min-int root IS the min-url label (matching the distributed loop's
-    min-label rule) and the union-find runs over two int arrays — no
-    per-edge Python string objects.
+    Urls are dictionary-encoded IN ARROW (pc.dictionary_encode over the
+    concatenated src++dst column) before anything touches Python, so the
+    per-edge data the driver holds is two int64 numpy arrays plus ONE
+    Arrow string array of the distinct urls — never 2·|edges| Python
+    string objects (ADVICE r3: to_pylist materialized ~4M full url
+    strings at the 2M-edge threshold). The dictionary codes are re-ranked
+    by the lexicographic sort of the dictionary, so the min-int root IS
+    the min-url label, matching the distributed loop's min-label rule.
     """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     tbl = edges.select(src_col, dst_col).toArrow()
-    src = tbl.column(0).to_pylist()
-    dst = tbl.column(1).to_pylist()
-    names = sorted(set(src) | set(dst))
-    idx = {u: i for i, u in enumerate(names)}
-    parent = list(range(len(names)))
+    n_edges = tbl.num_rows
+    both = pa.chunked_array(
+        list(tbl.column(0).chunks) + list(tbl.column(1).chunks),
+        type=pa.string(),
+    ).combine_chunks()
+    enc = pc.dictionary_encode(both)
+    dictionary = enc.dictionary  # distinct urls, first-appearance order
+    n_nodes = len(dictionary)
+    # rank[code] = position of dictionary[code] in lexicographic order
+    order = pc.array_sort_indices(dictionary).to_numpy()
+    rank = np.empty(n_nodes, dtype=np.int64)
+    rank[order] = np.arange(n_nodes, dtype=np.int64)
+    codes = rank[enc.indices.to_numpy(zero_copy_only=False)]
+    src_ids = codes[:n_edges]
+    dst_ids = codes[n_edges:]
+    names_sorted = pc.take(dictionary, pa.array(order))  # Arrow, not Python
+
+    parent = np.arange(n_nodes, dtype=np.int64)
 
     def find(x: int) -> int:
         root = x
@@ -220,25 +241,21 @@ def _driver_union_find(edges: DataFrame, src_col: str, dst_col: str) -> DataFram
             parent[x], x = root, parent[x]
         return root
 
-    for s, d in zip(src, dst):
-        a, b = find(idx[s]), find(idx[d])
+    for s, d in zip(src_ids.tolist(), dst_ids.tolist()):
+        a, b = find(s), find(d)
         if a != b:
             if a < b:
                 parent[b] = a
             else:
                 parent[a] = b
 
-    # Arrow-serialized return: a list-of-tuples createDataFrame row-pickles
-    # ~100k+ labels through the driver single-threaded (a measurable slice
-    # of the pipeline's serial floor); a pandas frame ships as Arrow batches
-    import pandas as pd
-
-    out = pd.DataFrame(
+    roots = np.fromiter(
+        (find(i) for i in range(n_nodes)), dtype=np.int64, count=n_nodes
+    )
+    out_tbl = pa.table(
         {
-            "node": pd.Series(names, dtype="object"),
-            "label": pd.Series(
-                [names[find(i)] for i in range(len(names))], dtype="object"
-            ),
+            "node": names_sorted,
+            "label": pc.take(names_sorted, pa.array(roots)),
         }
     )
     spark = edges.sparkSession
@@ -250,4 +267,9 @@ def _driver_union_find(edges: DataFrame, src_col: str, dst_col: str) -> DataFram
             T.StructField("label", T.StringType(), False),
         ]
     )
-    return spark.createDataFrame(out, schema=schema)
+    try:
+        # Spark 4 accepts pyarrow Tables directly — labels never become
+        # Python objects at all
+        return spark.createDataFrame(out_tbl, schema=schema)
+    except Exception:
+        return spark.createDataFrame(out_tbl.to_pandas(), schema=schema)

@@ -181,8 +181,20 @@ def two_tier_classify(
         .select("url", F.col("group").alias("best_group"), "group_hits")
     )
     # hashnum in the reference's "max_shared/hashnum" (rkmh.cpp:2683):
-    # the read's own hash count after filters
-    n_hashes = qhashes.groupBy("url").agg(F.count("*").alias("n_hashes"))
+    # the read's own hash count after filters. Universe = EVERY query url
+    # (not just urls with ≥1 shingle): a doc shorter than k yields no
+    # hash_dump rows but must still emit the full zero-hit ranked list
+    # ("g:0/0;..."), matching the reference iterating all lineage tables
+    # for every read (ADVICE r3).
+    n_hashes = (
+        query_pages.select("url")
+        .join(
+            qhashes.groupBy("url").agg(F.count("*").alias("nh")),
+            "url",
+            "left",
+        )
+        .select("url", F.coalesce("nh", F.lit(0)).alias("n_hashes"))
+    )
 
     ranked_g = _ranked_tier_lists(
         qhashes,

@@ -193,3 +193,25 @@ def test_real_decode_in_spark_pipeline(spark):
     assert out["m://a"]["features"][0] == 400.0  # n_samples
     assert out["m://i"]["features"][0] == 8.0    # height
     assert out["m://a"]["payload_bytes"] == len(wav)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"RIFF\x00\x00\x00\x00WAVEfmt \x04\x00\x00\x00\x01\x00",  # short fmt
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + b"\x00" * 13 + b"x",
+        b"P6\n12 not-an-int\n255\n\x00\x00\x00",  # non-integer PPM header
+        b"P6\n",  # header truncated before width/height/maxval
+    ],
+)
+def test_malformed_payloads_hit_honest_boundary(payload):
+    """ADVICE r3: truncated/malformed payloads must surface as
+    UnsupportedMediaError (the documented honest-stub boundary), never a
+    raw struct/zlib/ValueError that fails the whole mapInPandas task."""
+    from rkmh_spark.functions.codecs import (
+        UnsupportedMediaError,
+        real_decode_features,
+    )
+
+    with pytest.raises(UnsupportedMediaError):
+        real_decode_features(payload, kind="auto")

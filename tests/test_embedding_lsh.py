@@ -130,3 +130,58 @@ def test_ivf_topk_recall_and_determinism(spark, planted):
 
     out2 = ivf_topk(planted, k=3, n_centroids=8, n_probe=4, seed=5)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
+
+
+def test_ivf_topk_hot_centroid_sharded_complete(spark):
+    """VERDICT r3 #1b: the centroid_id probe join runs through the same
+    bipartite shard guard as lsh_topk. All vectors pile into one KMeans
+    cluster (tiny noise around one direction), so a small ``bucket_cap``
+    forces multi-shard replication — with n_probe == n_centroids the
+    candidate set covers everything, so results must equal an uncapped
+    run AND the exact brute force."""
+    import random
+
+    from rkmh_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = random.Random(7)
+    dim, n = 8, 20
+    base = [1.0, -1.0, 0.5, -0.5, 0.25, -0.25, 2.0, -2.0]
+    rows = [
+        (i, [v + rng.uniform(-0.01, 0.01) for v in base]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = ivf_topk(emb, k=5, n_centroids=2, n_probe=2, seed=9, bucket_cap=4)
+    uncapped = ivf_topk(
+        emb, k=5, n_centroids=2, n_probe=2, seed=9, bucket_cap=10**9
+    )
+    exact = brute_force_topk(emb, emb.select("vec_id", "embedding"), k=5)
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(map(tuple, uncapped.collect()))
+    c = sorted(map(tuple, exact.collect()))
+    assert len(a) == n * 5
+    assert a == b  # sharding changed the plan, not the result
+    assert a == c  # full probe coverage → candidates are complete
+
+
+def test_ivf_topk_sampled_training(spark, planted):
+    """VERDICT r3 #1c: the quantizer trains on a bounded hash-sample, not
+    the full corpus. Forcing max_train far below |corpus| must stay
+    deterministic (layout-independent hash sample + id-sorted training
+    rows) and keep planted-pair rank-1 recall — quantizer quality affects
+    which lists exist, not whether near-identical vectors co-locate."""
+    from rkmh_spark.operators.similarity import ivf_topk
+
+    out1 = ivf_topk(
+        planted, k=1, n_centroids=4, n_probe=4, seed=5, max_train=50
+    )
+    rows = sorted(map(tuple, out1.collect()))
+    top1 = {r[0]: r[1] for r in rows if r[3] == 1}
+    planted_q = [q for q in top1 if q >= 100000]
+    assert len(planted_q) >= 10
+    hits = sum(1 for q in planted_q if top1[q] == q - 100000)
+    assert hits / len(planted_q) >= 0.9, (hits, len(planted_q))
+    out2 = ivf_topk(
+        planted, k=1, n_centroids=4, n_probe=4, seed=5, max_train=50
+    )
+    assert rows == sorted(map(tuple, out2.collect()))

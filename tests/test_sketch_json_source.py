@@ -59,3 +59,17 @@ def test_classify_from_loaded_sketches_matches_recompute(spark, tmp_path):
         map(tuple, classify_pages(q_sigs, loaded_refs, TEST_CONFIG).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_sketch_json_null_metadata_rejected(spark, tmp_path):
+    """ADVICE r3: rows with NULL kmer/hashSeed/sketchSize (corrupt or
+    foreign JSON) must FAIL validation — != predicates would three-value-
+    logic them past the guard."""
+    path = str(tmp_path / "corrupt")
+    spark.createDataFrame(
+        [('{"name":"u1","sketches":[1,2,3]}',)], "value string"
+    ).write.mode("overwrite").text(path)
+    with pytest.raises(ValueError, match="metadata mismatch"):
+        read_sketch_json(spark, path, TEST_CONFIG)
+    # still loads fine without a cfg (validation is opt-in)
+    assert read_sketch_json(spark, path).count() == 1

@@ -143,3 +143,28 @@ def test_ranked_tier_lists_order_and_tiebreaks(spark):
     assert row["subgroup_ranked"] == exp_s_ranked
     assert row["subgroup_ranked_hits"] == exp_s_hits
     assert row["subgroup_ranked"].startswith("A-r://a1:")
+
+
+def test_two_tier_zero_shingle_doc_gets_full_ranked_list(spark):
+    """ADVICE r3: a query shorter than k yields no hash_dump rows but must
+    still emit the FULL zero-hit ranked list over every panel group
+    ("g:0/0;..."), like the reference iterating all lineage tables for
+    every read — not empty strings."""
+    rng = random.Random(11)
+    panel = _mk(
+        spark,
+        [("r://a1", _vocab_text(rng, "a", 60), "A"),
+         ("r://b1", _vocab_text(rng, "b", 60), "B")],
+    )
+    tiny = "abc"
+    assert len(tiny) < TEST_CONFIG.k
+    queries = _mk(spark, [("q://tiny", tiny, "?")])
+    out = {
+        r["url"]: r
+        for r in two_tier_classify(queries, panel, TEST_CONFIG).collect()
+    }
+    row = out["q://tiny"]
+    assert row["n_hashes"] == 0
+    assert row["group_ranked"] == "A:0/0;B:0/0;"
+    assert row["group_ranked_hits"] == "0;0;"
+    assert row["group_hits"] == 0
