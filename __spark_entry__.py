@@ -705,6 +705,20 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher keep/drop composite (Rae et al. 2021 §A1.1): per-doc fail
+    flags + final keep, every threshold an integer cross-multiplication.
+    min_words=10 (not the published 50) because the fixtures are ~20-word
+    snippets; at sf0.01 the filter splits 223 keep / 277 drop, driven by
+    the ≥2-Gopher-stopwords rule (non-English docs) and top-word
+    repetition — non-vacuous."""
+    from rkmh_spark.functions.text import gopher_quality_filter
+
+    return gopher_quality_filter(
+        _docs(spark, sf_dir).select("doc_id", "text"), min_words=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -750,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_tier_classify": q_two_tier_classify,
         "line_dedup": q_line_dedup,
         "repetition_scores": q_repetition_scores,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -1267,5 +1282,77 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(bs.n_distinct_bigrams, 0) AS n_distinct_bigrams,
                    coalesce(bs.top_bigrams_count, 0) AS top_bigrams_count
             FROM wstats ws LEFT JOIN bstats bs USING (doc_id)
+        """,
+        # Gopher composite filter: same word/bigram stats CTEs as
+        # repetition_scores, plus token-level quality counts; every
+        # threshold an integer cross-multiplication (no float ratios)
+        "quality_filter": f"""
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            wstats AS (
+                SELECT doc_id, CAST(max(c) AS BIGINT) AS top_words_count
+                FROM (
+                    SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id, unnest(words) AS g FROM w)
+                    GROUP BY doc_id, g
+                )
+                GROUP BY doc_id
+            ),
+            b AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, len(words)),
+                           i -> words[i] || ' ' || words[i+1]
+                       ) AS bg
+                FROM w
+            ),
+            bstats AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       CAST(max(c) AS BIGINT) AS top_bigrams_count
+                FROM (
+                    SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+                    GROUP BY doc_id, g
+                )
+                GROUP BY doc_id
+            ),
+            q AS (
+                SELECT doc_id,
+                       len({_TOKS}) AS nw,
+                       coalesce(list_sum(
+                           list_transform({_TOKS}, t -> length(t))), 0) AS swc,
+                       (length(text) - length(replace(text, '#', '')))
+                         + (len(string_split(text, '...')) - 1) AS n_symbols,
+                       len(list_filter({_TOKS},
+                           t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+                       len(list_filter({_TOKS},
+                           t -> list_contains(['the','be','to','of','and',
+                                               'that','have','with'], t)))
+                           AS n_stop
+                FROM documents
+            )
+            SELECT q.doc_id, q.nw AS n_words,
+                   (q.nw < 10 OR q.nw > 100000) AS fail_word_count,
+                   (q.swc < 3 * q.nw OR q.swc > 10 * q.nw)
+                       AS fail_mean_word_len,
+                   (q.n_symbols * 10 > q.nw) AS fail_symbol_ratio,
+                   (q.n_alpha * 5 < q.nw * 4) AS fail_alpha_ratio,
+                   (q.n_stop < 2) AS fail_stopwords,
+                   (ws.top_words_count * 5 > q.nw) AS fail_top_word,
+                   (coalesce(bs.top_bigrams_count, 0) * 50
+                       > coalesce(bs.n_bigrams, 0) * 9) AS fail_top_bigram,
+                   NOT ((q.nw < 10 OR q.nw > 100000)
+                        OR (q.swc < 3 * q.nw OR q.swc > 10 * q.nw)
+                        OR (q.n_symbols * 10 > q.nw)
+                        OR (q.n_alpha * 5 < q.nw * 4)
+                        OR (q.n_stop < 2)
+                        OR (ws.top_words_count * 5 > q.nw)
+                        OR (coalesce(bs.top_bigrams_count, 0) * 50
+                            > coalesce(bs.n_bigrams, 0) * 9)) AS keep
+            FROM q
+            JOIN wstats ws USING (doc_id)
+            LEFT JOIN bstats bs USING (doc_id)
         """,
     }

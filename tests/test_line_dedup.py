@@ -78,3 +78,84 @@ def test_repetition_signals_fixture(spark):
     assert out[0]["top_bigrams_count"] == 2
     assert out[1]["n_bigrams"] == 0 and out[1]["top_bigrams_count"] == 0
     assert out[2]["top_words_count"] == 1 and out[2]["n_bigrams"] == 2
+
+
+def test_hash_keys_path_identical_and_hashes_in_shuffle(spark):
+    """VERDICT r3 #3: the 8-byte xxhash64 shuffle-key spelling must be
+    code, not commentary — identical output to the string-keyed path on
+    the fixtures, and the executed plan must shuffle on the hash key."""
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, f"alpha one\n{boiler}\nalpha two"),
+        (1, f"{boiler}\nbeta one\nbeta two"),
+        (2, "gamma only unique lines\ngamma second"),
+        (3, ""),
+    ]
+    d = _docs(spark, rows)
+    a = sorted(map(tuple, line_dedup(d).collect()))
+    hashed = line_dedup(d, hash_keys=True)
+    b = sorted(map(tuple, hashed.collect()))
+    assert a == b
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan  # the count/join shuffle keys on the hash
+
+
+def test_repetition_signals_hash_keys_identical(spark):
+    from rkmh_spark.functions.text import repetition_signals
+
+    rows = [
+        (0, "a a a b"),
+        (1, "x y x y x"),
+        (2, ""),
+        (3, "single"),
+    ]
+    d = _docs(spark, rows)
+    a = sorted(map(tuple, repetition_signals(d).collect()))
+    hashed = repetition_signals(d, hash_keys=True)
+    b = sorted(map(tuple, hashed.collect()))
+    assert a == b
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+
+
+def test_gopher_quality_filter_flags(spark):
+    """Each Gopher fail flag fires on a doc built to trip exactly it
+    (plus word-count side effects where unavoidable)."""
+    from rkmh_spark.functions.text import gopher_quality_filter
+
+    good = "the cat sat on the mat and that dog have fun with everyone today"
+    rows = [
+        (0, good),                                  # passes everything
+        (1, "the of and"),                          # too few words (min 5)
+        (2, "a b c d e f g h i j the of"),          # mean word len < 3
+        (3, "the### of### and### cat### dog### x"), # symbol ratio > 0.1
+        (4, "1 2 3 4 5 6 7 8 9 10 the of"),         # alpha ratio < 0.8
+        (5, "cat dog bird fish mouse horse cow"),   # < 2 Gopher stopwords
+        (6, "the the the the the of cat dog"),      # top word > 0.2
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_filter(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_words=5,
+        ).collect()
+    }
+    assert out[0]["keep"]
+    assert out[1]["fail_word_count"] and not out[1]["keep"]
+    assert out[2]["fail_mean_word_len"] and not out[2]["keep"]
+    assert out[3]["fail_symbol_ratio"] and not out[3]["keep"]
+    assert out[4]["fail_alpha_ratio"] and not out[4]["keep"]
+    assert out[5]["fail_stopwords"] and not out[5]["keep"]
+    assert out[6]["fail_top_word"] and not out[6]["keep"]
+    # hash-keyed repetition path produces the identical decision
+    hashed = {
+        r["doc_id"]: r
+        for r in gopher_quality_filter(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_words=5,
+            hash_keys=True,
+        ).collect()
+    }
+    assert {k: v["keep"] for k, v in out.items()} == {
+        k: v["keep"] for k, v in hashed.items()
+    }

@@ -30,6 +30,8 @@ SCALE_PATH_QUERIES = [
     "brand_revenue",
     "line_dedup",          # r3: CCNet line dedup — one df shuffle, no BNL
     "repetition_scores",   # r3: Gopher signals — groupBys only
+    "embedding_ivf_topk",  # r4: sharded centroid probe join, no BNL
+    "quality_filter",      # r4: Gopher composite — projections + groupBys
 ]
 
 

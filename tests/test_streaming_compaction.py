@@ -1,0 +1,154 @@
+"""Streaming compaction (VERDICT r3 #3) and the streaming plan gate
+(VERDICT r3 #8): retroactive cluster merges + bucket-pruned band probes.
+"""
+
+import dataclasses
+import datetime
+import random
+
+from pyspark.sql import functions as F
+
+from rkmh_spark.config import TEST_CONFIG
+from rkmh_spark.operators.dedup import dedup_pages
+from rkmh_spark.sources.pages import pages_schema
+from rkmh_spark.streaming.stream_classify import (
+    _probe_pairs,
+    _read_all,
+    compact_assignments,
+    process_incremental_batch,
+)
+
+TS = datetime.datetime(2026, 1, 1)
+# bridge pages share only ~1/3 of their shingles with each side, so the
+# verify threshold must sit below 1/3 for the bridge to be a real edge,
+# and banding must capture j≈0.33 pairs: r=2/b=64 → 1-(1-0.33²)^64 ≈ 0.999
+# (TEST_CONFIG's r=4/b=72 captures j=0.33 at only ~0.57)
+CFG = dataclasses.replace(
+    TEST_CONFIG, jaccard_threshold=0.25, band_rows=2, num_bands=64
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(u, TS, b"", t, "en") for u, t in rows], schema=pages_schema()
+    )
+
+
+def _texts():
+    rng = random.Random(77)
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{rng.randrange(10**5):05d}" for _ in range(n))
+
+    t1 = words("a", 40)
+    t2 = words("b", 40)
+    half = lambda t: " ".join(t.split()[:20])  # noqa: E731
+    bridge = half(t1) + " " + half(t2)
+    return t1, t2, bridge
+
+
+def test_compaction_merges_clusters_bridged_across_batches(spark, tmp_path):
+    """Batch 0 forms cluster {A, A2}; batch 1 forms {B, B2}; batch 2's C
+    is similar to BOTH (half of each text). The incremental loop records
+    the bridge only through C — A*/B* keep split historical ids. After
+    compact_assignments ALL five pages share one cluster id, and the
+    whole table equals what batch-mode dedup_pages produces on the full
+    corpus."""
+    t1, t2, bridge = _texts()
+    batches = [
+        [("p://a1", t1), ("p://a2", t1)],
+        [("p://b1", t2), ("p://b2", t2)],
+        [("p://c1", bridge)],
+    ]
+    sigs_d, bands_d, asg_d = (
+        str(tmp_path / "s"), str(tmp_path / "b"), str(tmp_path / "a")
+    )
+    for i, b in enumerate(batches):
+        process_incremental_batch(
+            spark, _mk(spark, b), i, CFG, sigs_d, bands_d, asg_d
+        )
+    before = {
+        r["url"]: r["cluster_id"] for r in _read_all(spark, asg_d).collect()
+    }
+    # the incremental tradeoff: the bridge exists (C adopted an old id)
+    # but the two old clusters are still split
+    assert before["p://a1"] == before["p://a2"]
+    assert before["p://b1"] == before["p://b2"]
+    assert before["p://a1"] != before["p://b1"]
+    assert before["p://c1"] == min(before["p://a1"], before["p://b1"])
+
+    compact_assignments(spark, CFG, sigs_d, bands_d, asg_d)
+    after = {
+        r["url"]: r["cluster_id"] for r in _read_all(spark, asg_d).collect()
+    }
+    assert len(set(after.values())) == 1  # one merged cluster
+    assert set(after) == {u for b in batches for u, _ in b}
+
+    # byte-identical to the batch pipeline over the full corpus
+    all_pages = _mk(spark, [p for b in batches for p in b])
+    batch_assign = {
+        r["url"]: r["cluster_id"]
+        for r in dedup_pages(all_pages, CFG).assignments.collect()
+    }
+    assert after == batch_assign
+
+    # idempotent: compacting again changes nothing
+    compact_assignments(spark, CFG, sigs_d, bands_d, asg_d)
+    again = {
+        r["url"]: r["cluster_id"] for r in _read_all(spark, asg_d).collect()
+    }
+    assert again == after
+
+
+def test_streaming_probe_plan_prunes_and_no_quadratic_join(spark, tmp_path):
+    """VERDICT r3 #8: the per-batch probe's executed plan must (a) prune
+    the stored band table to the new batch's band_bucket partitions
+    (PartitionFilters, mirroring test_layout), (b) contain no
+    CartesianProduct and no BNL beyond the sanctioned broadcast of the
+    new-batch bands, and (c) return the same pairs as an unpruned
+    full-history join."""
+    from rkmh_spark.operators.lsh import band_buckets
+    from rkmh_spark.operators.signatures import compute_signatures
+    from rkmh_spark.plans.layout import scan_has_partition_pruning
+    from rkmh_spark.streaming.stream_classify import _band_bucket_col
+
+    t1, t2, bridge = _texts()
+    sigs_d, bands_d, asg_d = (
+        str(tmp_path / "s"), str(tmp_path / "b"), str(tmp_path / "a")
+    )
+    process_incremental_batch(
+        spark,
+        _mk(spark, [("p://a1", t1), ("p://a2", t1), ("p://b1", t2)]),
+        0, CFG, sigs_d, bands_d, asg_d,
+    )
+    new = _mk(spark, [("p://c1", bridge), ("p://b2", t2)])
+    bands_new = (
+        band_buckets(compute_signatures(new, CFG), CFG)
+        .withColumn("band_bucket", _band_bucket_col())
+        .localCheckpoint(eager=True)
+    )
+    pairs = _probe_pairs(spark, bands_new, bands_d)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert scan_has_partition_pruning(pairs)  # band_bucket IN (...) pushed
+
+    # pruning is semantics-free: same pairs as the unpruned union
+    stored = _read_all(spark, bands_d)
+    unpruned = (
+        F.broadcast(
+            bands_new.select(
+                "band_id", "band_hash", F.col("url").alias("url_new")
+            )
+        )
+        .join(stored.unionByName(bands_new), ["band_id", "band_hash"])
+        .where(F.col("url_new") != F.col("url"))
+        .select(
+            F.least("url_new", "url").alias("url_a"),
+            F.greatest("url_new", "url").alias("url_b"),
+        )
+        .distinct()
+    )
+    assert sorted(map(tuple, pairs.collect())) == sorted(
+        map(tuple, unpruned.collect())
+    )
