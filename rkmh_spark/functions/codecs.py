@@ -11,9 +11,13 @@ for them instead of stubbed (VERDICT r2 "what's missing" #4):
   scanline filter reconstruction (None/Sub/Up/Average/Paeth, PNG spec
   §9 — public domain algorithm).
 - PPM/PGM (binary P5/P6): header parse + frombuffer.
+- JPEG (baseline sequential SOF0, gray + YCbCr up to 2×2 subsampling):
+  full marker parse + huffman entropy decode + dequant + IDCT +
+  chroma upsample + color convert, from the public ITU-T T.81 spec.
 
-Anything else (JPEG, MP4, ...) still raises NotImplementedError with an
-honest message — those genuinely need external codec libraries.
+Anything else (MP4, progressive/arithmetic JPEG, ...) still raises
+NotImplementedError with an honest message — those genuinely need
+external codec libraries.
 """
 
 from __future__ import annotations
@@ -157,6 +161,268 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81, public spec), stdlib+numpy.
+#
+# Supports: SOF0 (baseline), 8-bit samples, 1 component (grayscale) or 3
+# components (JFIF YCbCr) with any h/v sampling factors ≤ 2 (covers 4:4:4,
+# 4:2:2, 4:2:0), restart markers, multiple DQT/DHT segments. Progressive
+# (SOF2), arithmetic coding, and 12-bit precision raise
+# UnsupportedMediaError — decoding them is spec-legal but out of scope for
+# the feature seam.
+
+_ZIGZAG = np.array(
+    [
+         0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _idct_matrix() -> np.ndarray:
+    """8-point DCT-III basis: M[u, x] = c(u)/2 · cos((2x+1)uπ/16);
+    spatial = Mᵀ · coeff · M."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+_IDCT_M = _idct_matrix()
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader: 0xFF00 unstuffs to 0xFF; RSTn
+    markers are consumed by the caller via align_to_marker()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        if self.pos >= len(d):
+            raise UnsupportedMediaError("JPEG entropy data truncated")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt != 0x00 and self.bit == 0:
+                # a real marker (EOI/RSTn) — data exhausted for this run
+                raise UnsupportedMediaError("JPEG hit marker mid-block")
+        b = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+            if byte == 0xFF:  # skip the stuffed 0x00
+                self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def at_marker(self) -> int | None:
+        """If positioned (byte-aligned or mid-byte) at an 0xFFxx marker
+        (xx != 0), return xx without consuming."""
+        p = self.pos if self.bit == 0 else self.pos + 1
+        d = self.data
+        if p + 1 < len(d) and d[p] == 0xFF and d[p + 1] != 0x00:
+            return d[p + 1]
+        return None
+
+    def skip_marker(self) -> None:
+        p = self.pos if self.bit == 0 else self.pos + 1
+        self.pos = p + 2
+        self.bit = 0
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) → symbol, canonical JPEG order (spec C.2)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedMediaError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude decode (spec F.12): t-bit value v → signed."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """→ (H, W, C) uint8; C = 1 (grayscale) or 3 (RGB from JFIF YCbCr)."""
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    width = height = None
+    restart_interval = 0
+    scan_pos = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise UnsupportedMediaError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise UnsupportedMediaError("16-bit JPEG quant table")
+                qt[tq] = np.frombuffer(
+                    body, np.uint8, count=64, offset=b + 1
+                ).astype(np.int32)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = body[b + 17 : b + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
+                    bits, vals
+                )
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise UnsupportedMediaError(f"JPEG precision {prec} != 8")
+            if nc not in (1, 3):
+                raise UnsupportedMediaError(f"JPEG with {nc} components")
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for i in range(ns):
+                cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
+                for c in comps:
+                    if c["id"] == cs:
+                        c["td"], c["ta"] = td_ta >> 4, td_ta & 0x0F
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_pos is None or width is None or not comps:
+        raise UnsupportedMediaError("JPEG missing SOF0/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-width // mcu_w)
+    mcus_y = -(-height // mcu_h)
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    pred = [0] * len(comps)
+    br = _BitReader(payload, scan_pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                m = br.at_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    br.skip_marker()
+                    pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dq = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, dtype=np.int32)
+                        t = _huff_decode(br, huff_dc[c["td"]])
+                        diff = _extend(br.read_bits(t), t)
+                        pred[ci] += diff
+                        coeffs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, huff_ac[c["ta"]])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise UnsupportedMediaError(
+                                    "JPEG AC index overflow"
+                                )
+                            coeffs[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = coeffs * dq
+                        spatial = (
+                            _IDCT_M.T @ block.reshape(8, 8) @ _IDCT_M
+                        ) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+
+    # upsample each plane to full MCU-grid resolution, crop, color-convert
+    full = []
+    for c, p in zip(comps, planes):
+        p = np.repeat(
+            np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        out = np.clip(full[0], 0, 255)[:, :, None]
+        return out.astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # PPM / PGM (binary)
 
 def decode_ppm(payload: bytes) -> np.ndarray:
@@ -202,6 +468,8 @@ def sniff(payload: bytes) -> str | None:
         return "png"
     if payload[:2] in (b"P5", b"P6"):
         return "ppm"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
