@@ -47,6 +47,7 @@ def main() -> None:
         "top_orders_per_customer",
         "variant_calls",          # r2: rkmh-call graft (P6/A9/F7)
         "min_occ_signatures",     # r2: F4 relational filtered sketch
+        "quality_filter",         # r4: Gopher composite keep/drop
     ]
 
     # JVM+python-worker warm-up on the tiny sf so per-query times measure

@@ -48,10 +48,13 @@ class DedupConfig:
     # --- clustering ---
     max_cc_iterations: int = 20
     # edge count below which connected-components runs a one-collect driver
-    # union-find instead of the iterative distributed loop; 2M edges is
-    # ~32 MB Arrow-collected with dictionary-encoded urls — safe on any
-    # driver, and the distributed loop's per-round fixed job latency
-    # dominates far past this size
+    # union-find instead of the iterative distributed loop. The collect is
+    # Arrow-dictionary-encoded BEFORE anything reaches Python
+    # (_driver_union_find): the driver holds two int64 edge arrays
+    # (2M edges → 32 MB) plus one Arrow string array of the distinct urls
+    # (~60 B/url → ~100-200 MB at worst-case 2M distinct nodes) — bounded
+    # and safe on any production driver; the distributed loop's per-round
+    # fixed job latency dominates far past this size
     cc_driver_threshold: int = 2_000_000
 
     # --- execution ---
