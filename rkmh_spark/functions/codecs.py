@@ -14,8 +14,11 @@ for them instead of stubbed (VERDICT r2 "what's missing" #4):
 - JPEG (baseline sequential SOF0, gray + YCbCr up to 2×2 subsampling):
   full marker parse + huffman entropy decode + dequant + IDCT +
   chroma upsample + color convert, from the public ITU-T T.81 spec.
+- MP4/ISO-BMFF: CONTAINER METADATA only (box-tree walk → duration,
+  tracks, dimensions, codec fourcc); frame/audio decode genuinely needs
+  H.264/AAC codec libraries and raises.
 
-Anything else (MP4, progressive/arithmetic JPEG, ...) still raises
+Anything else (progressive/arithmetic JPEG, raw video, ...) still raises
 NotImplementedError with an honest message — those genuinely need
 external codec libraries.
 """
@@ -457,6 +460,96 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# MP4 — ISO BMFF container METADATA only (ISO/IEC 14496-12, public spec).
+# Frame/audio decode genuinely needs external codec libraries (H.264 etc.)
+# and stays behind the honest UnsupportedMediaError boundary; but the
+# container structure is a plain box tree, so duration / track count /
+# video dimensions / codec fourcc are real, dependency-free metadata.
+
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """→ {duration_sec, timescale, n_tracks, width, height, codecs:[...]}.
+
+    Walks top-level and moov/trak/mdia/minf/stbl boxes; mvhd gives
+    timescale+duration (version 0 and 1), tkhd gives 16.16-fixed width/
+    height, stsd's first entry gives the sample-codec fourcc."""
+    def boxes(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", data, pos)
+            btype = data[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", data, pos + 8)
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise UnsupportedMediaError("MP4 box size out of bounds")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise UnsupportedMediaError("not an ISO-BMFF/MP4 payload")
+    meta = {
+        "duration_sec": 0.0,
+        "timescale": 0,
+        "n_tracks": 0,
+        "width": 0,
+        "height": 0,
+        "codecs": [],
+    }
+    _CONTAINERS = (b"moov", b"trak", b"mdia", b"minf", b"stbl")
+    stack = [(b"", 0, len(payload))]
+    while stack:
+        _, s, e = stack.pop()
+        for btype, bs, be in boxes(payload, s, e):
+            if btype in _CONTAINERS:
+                stack.append((btype, bs, be))
+            elif btype == b"mvhd":
+                version = payload[bs]
+                if version == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, bs + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, bs + 4 + 8)
+                meta["timescale"] = ts
+                meta["duration_sec"] = (dur / ts) if ts else 0.0
+            elif btype == b"tkhd":
+                meta["n_tracks"] += 1
+                version = payload[bs]
+                off = bs + 4 + (32 if version == 1 else 20) + 52
+                w, h = struct.unpack_from(">II", payload, off)
+                w, h = w >> 16, h >> 16  # 16.16 fixed point
+                if w and h:
+                    meta["width"] = max(meta["width"], w)
+                    meta["height"] = max(meta["height"], h)
+            elif btype == b"stsd":
+                n = struct.unpack_from(">I", payload, bs + 4)[0]
+                if n >= 1 and be - bs >= 16:
+                    fourcc = payload[bs + 12 : bs + 16]
+                    meta["codecs"].append(fourcc.decode("latin1"))
+    if meta["timescale"] == 0 and meta["n_tracks"] == 0:
+        raise UnsupportedMediaError("MP4 without moov metadata")
+    return meta
+
+
+def mp4_metadata_features(meta: dict, dim: int) -> np.ndarray:
+    """Container metadata → fixed-width floats: duration, timescale,
+    track count, width, height, per-codec fourcc byte sum (deterministic
+    numeric stand-in for the codec id)."""
+    feats = [
+        float(meta["duration_sec"]),
+        float(meta["timescale"]),
+        float(meta["n_tracks"]),
+        float(meta["width"]),
+        float(meta["height"]),
+    ]
+    feats += [float(sum(c.encode("latin1"))) for c in meta["codecs"][:3]]
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(feats))] = feats[:dim]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # dispatch + fixed-width features
 
 def sniff(payload: bytes) -> str | None:
@@ -470,6 +563,8 @@ def sniff(payload: bytes) -> str | None:
         return "ppm"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -536,6 +631,10 @@ def real_decode_features(payload: bytes, kind: str, dim: int = 16) -> np.ndarray
             return image_features(decode_ppm(payload), dim=dim)
         if fmt == "jpeg":
             return image_features(decode_jpeg(payload), dim=dim)
+        if fmt == "mp4":
+            # container metadata is real; FRAME decode stays behind the
+            # honest boundary (needs H.264/AAC codec libraries)
+            return mp4_metadata_features(parse_mp4_metadata(payload), dim=dim)
     except UnsupportedMediaError:
         raise
     except (struct.error, zlib.error, ValueError, IndexError) as e:

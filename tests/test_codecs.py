@@ -166,11 +166,16 @@ def test_sniff_and_feature_dispatch():
     assert fa[0] == 100.0 and fa[1] == 8000.0  # n_samples, rate
     assert fi[0] == 2.0 and fi[1] == 2.0 and fi[2] == 3.0  # h, w, c
     # jpeg-ish magic now reaches the REAL jpeg parser, which rejects the
-    # truncated body; an MP4-ish payload still hits the external-libs wall
+    # truncated body; mp4-ish magic reaches the REAL box parser, which
+    # rejects the missing moov; unknown bytes hit the external-libs wall
     with pytest.raises(UnsupportedMediaError):
         real_decode_features(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
+    with pytest.raises(UnsupportedMediaError, match="moov"):
+        real_decode_features(
+            b"\x00\x00\x00\x10ftypmp42\x00\x00\x00\x00", "video"
+        )
     with pytest.raises(UnsupportedMediaError, match="codec"):
-        real_decode_features(b"\x00\x00\x00\x18ftypmp42 not video", "video")
+        real_decode_features(b"\x1aE\xdf\xa3 webm-ish unknown", "video")
 
 
 def test_real_decode_in_spark_pipeline(spark):
@@ -505,3 +510,59 @@ def test_jpeg_restart_markers():
     dec = decode_jpeg(payload)
     assert dec.shape == (16, 40, 1)
     assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 8
+
+
+# ---------------------------------------------------------------------------
+# MP4 container metadata — fixture built from the ISO-BMFF spec by hand
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_bytes(duration_units=5000, timescale=1000, w=640, h=360) -> bytes:
+    ftyp = _mp4_box(b"ftyp", b"mp42\x00\x00\x00\x00mp42")
+    # mvhd v0: verflags, creation, modification, timescale, duration,
+    # then rate/volume/reserved/matrix/predefined/next_track (unread pad)
+    mvhd = _mp4_box(
+        b"mvhd",
+        bytes(4)
+        + struct.pack(">IIII", 0, 0, timescale, duration_units)
+        + bytes(80),
+    )
+    # tkhd v0: verflags + (creation, modification, track_ID, reserved,
+    # duration) + 52 pad bytes (layer..matrix) + 16.16 width/height
+    tkhd = _mp4_box(
+        b"tkhd",
+        bytes(4)
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration_units)
+        + bytes(52)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    avc1 = struct.pack(">I", 16) + b"avc1" + bytes(8)
+    stsd = _mp4_box(b"stsd", bytes(4) + struct.pack(">I", 1) + avc1)
+    mdia = _mp4_box(b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsd)))
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def test_mp4_container_metadata():
+    from rkmh_spark.functions.codecs import parse_mp4_metadata
+
+    payload = _mp4_bytes()
+    assert sniff(payload) == "mp4"
+    meta = parse_mp4_metadata(payload)
+    assert meta["duration_sec"] == 5.0
+    assert meta["timescale"] == 1000
+    assert meta["n_tracks"] == 1
+    assert (meta["width"], meta["height"]) == (640, 360)
+    assert meta["codecs"] == ["avc1"]
+
+
+def test_mp4_feature_dispatch_and_truncation():
+    feats = real_decode_features(_mp4_bytes(), kind="video")
+    assert feats[0] == 5.0 and feats[2] == 1.0
+    assert feats[3] == 640.0 and feats[4] == 360.0
+    # truncated box tree maps to the honest boundary, not struct.error
+    with pytest.raises(UnsupportedMediaError):
+        real_decode_features(_mp4_bytes()[:40], kind="video")
