@@ -1,0 +1,83 @@
+"""URL canonicalization + url-level dedup (functions/urls.py)."""
+
+import datetime
+
+import pytest
+
+from rkmh_spark.functions.urls import canonical_url, url_dedup
+
+
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        # scheme/host lowercased, path case preserved
+        ("HTTP://Example.COM/Path/File", "http://example.com/Path/File"),
+        # default ports stripped (scheme-matched only)
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com:80/a", "https://example.com:80/a"),
+        # fragment dropped
+        ("https://example.com/a#section-2", "https://example.com/a"),
+        # tracking params removed, remaining sorted
+        (
+            "https://example.com/a?utm_source=x&b=2&a=1&gclid=zzz",
+            "https://example.com/a?a=1&b=2",
+        ),
+        (
+            "https://example.com/a?fbclid=f&msclkid=m&utm_campaign=c",
+            "https://example.com/a",
+        ),
+        # empty path -> "/", trailing slash stripped on non-root
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/", "https://example.com/"),
+        ("https://example.com/a/", "https://example.com/a"),
+        # query-order spelling variants collide
+        ("https://example.com/s?q=x&page=2", "https://example.com/s?page=2&q=x"),
+        # no scheme: returned unchanged (conservative on garbage)
+        ("not a url at all", "not a url at all"),
+        ("example.com/a", "example.com/a"),
+    ],
+)
+def test_canonical_url_rules(spark, raw, expect):
+    got = (
+        spark.createDataFrame([(raw,)], "url string")
+        .select(canonical_url("url").alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == expect, (raw, got, expect)
+
+
+def test_url_dedup_keeps_newest_per_canonical(spark):
+    t0 = datetime.datetime(2026, 1, 1)
+    t1 = datetime.datetime(2026, 2, 1)
+    rows = [
+        # three spellings of one page; the newest fetch wins
+        ("http://Example.com/a?utm_source=x", t0, "old"),
+        ("http://example.com:80/a", t1, "new"),
+        ("http://example.com/a#frag", t0, "old2"),
+        # distinct page survives independently
+        ("http://example.com/b", t0, "b"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = url_dedup(pages).collect()
+    by_canon = {r["canonical_url"]: r for r in out}
+    assert set(by_canon) == {"http://example.com/a", "http://example.com/b"}
+    assert by_canon["http://example.com/a"]["text"] == "new"
+    # deterministic tie-break: equal ts -> lexicographically smallest url
+    tie = spark.createDataFrame(
+        [("http://example.com/a", t0, "x"), ("http://EXAMPLE.com/a", t0, "y")],
+        "url string, warc_ts timestamp, text string",
+    )
+    r = url_dedup(tie).collect()
+    assert len(r) == 1 and r[0]["url"] == "http://EXAMPLE.com/a"
+
+
+def test_canonical_url_is_pure_relational(spark):
+    """No Python UDF: the expression must survive in a plain projection
+    plan (BatchEvalPython would appear for a row-at-a-time UDF)."""
+    df = spark.createDataFrame([("https://x.com/a",)], "url string").select(
+        canonical_url("url").alias("c")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
