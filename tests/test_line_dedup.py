@@ -100,7 +100,11 @@ def test_hash_keys_path_identical_and_hashes_in_shuffle(spark):
     assert "xxhash64" in plan  # the count/join shuffle keys on the hash
 
 
-def test_repetition_signals_hash_keys_identical(spark):
+def test_repetition_signals_spellings_identical(spark):
+    """Three spellings, one output: the default zero-shuffle projection,
+    the groupby spelling (oracle shape), and the xxhash64-keyed groupby
+    (8-byte shuffle keys, VERDICT r3 #3). The projection plan must have
+    NO exchange at all; the hashed plan must shuffle on the hash."""
     from rkmh_spark.functions.text import repetition_signals
 
     rows = [
@@ -108,14 +112,19 @@ def test_repetition_signals_hash_keys_identical(spark):
         (1, "x y x y x"),
         (2, ""),
         (3, "single"),
+        (4, "p q p q p q p q r"),
     ]
     d = _docs(spark, rows)
-    a = sorted(map(tuple, repetition_signals(d).collect()))
-    hashed = repetition_signals(d, hash_keys=True)
-    b = sorted(map(tuple, hashed.collect()))
-    assert a == b
-    plan = hashed._jdf.queryExecution().executedPlan().toString()
-    assert "xxhash64" in plan
+    proj = repetition_signals(d, impl="project")
+    a = sorted(map(tuple, proj.collect()))
+    b = sorted(map(tuple, repetition_signals(d).collect()))
+    hashed = repetition_signals(d, impl="groupby", hash_keys=True)
+    c = sorted(map(tuple, hashed.collect()))
+    assert a == b == c
+    proj_plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in proj_plan  # pure map stage, zero shuffle
+    hashed_plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in hashed_plan
 
 
 def test_gopher_quality_filter_flags(spark):
