@@ -48,6 +48,7 @@ def dedup_pages(
     cfg: DedupConfig,
     use_lsh: bool = True,
     containment_threshold: float | None = None,
+    url_dedup_first: bool = False,
 ) -> DedupResult:
     """Run the full dedup pipeline; ``use_lsh=False`` = exhaustive verify
     (the reference's own mechanism, for fixtures/recall oracles).
@@ -57,7 +58,17 @@ def dedup_pages(
     exact substring confirmation against the page texts) and confirmed
     asymmetric dups become extra edges for clustering — catches
     truncation/mirror-with-chrome dups whose symmetric Jaccard is low.
+
+    ``url_dedup_first``: run the url-level pre-pass (keep the newest
+    fetch per canonical url, functions/urls.py) before any sketching —
+    the standard crawl pipeline ordering; refetches and tracking-param
+    spellings never reach the shingle kernel. Default off so the pinned
+    content-dedup gates measure the content path alone.
     """
+    if url_dedup_first:
+        from rkmh_spark.functions.urls import url_dedup
+
+        pages = url_dedup(pages).drop("canonical_url")
     to_unpersist: list = []
     if cfg.min_occ is not None:
         # F4 (rkmh -M): global-occurrence filter — relational rebuild (the

@@ -81,3 +81,38 @@ def test_canonical_url_is_pure_relational(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_pages_url_pre_pass(spark):
+    """url_dedup_first: refetch spellings collapse BEFORE sketching; the
+    content pipeline then clusters the survivors exactly as usual."""
+    import datetime
+
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.operators.dedup import dedup_pages
+    from rkmh_spark.sources.pages import pages_schema
+
+    t0, t1 = datetime.datetime(2026, 1, 1), datetime.datetime(2026, 2, 1)
+    text_a = " ".join(f"alpha{i:04d}" for i in range(40))
+    text_b = " ".join(f"beta{i:04d}" for i in range(40))
+    rows = [
+        # two url spellings of one page — only the newest fetch survives
+        ("http://a.example/x?utm_source=feed", t0, b"", text_a, "en"),
+        ("http://a.example:80/x", t1, b"", text_a, "en"),
+        # a genuine content near-dup at a different url still clusters
+        ("http://mirror.example/x", t0, b"", text_a, "en"),
+        ("http://b.example/y", t0, b"", text_b, "en"),
+    ]
+    pages = spark.createDataFrame(rows, schema=pages_schema())
+    res = dedup_pages(pages, TEST_CONFIG, url_dedup_first=True)
+    urls = {r["url"] for r in res.assignments.collect()}
+    assert "http://a.example/x?utm_source=feed" not in urls  # pre-pass drop
+    assert len(urls) == 3
+    clusters = {
+        r["url"]: r["cluster_id"] for r in res.assignments.collect()
+    }
+    assert (
+        clusters["http://a.example:80/x"]
+        == clusters["http://mirror.example/x"]
+    )
+    assert clusters["http://b.example/y"] != clusters["http://a.example:80/x"]
