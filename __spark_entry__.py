@@ -1283,48 +1283,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(bs.top_bigrams_count, 0) AS top_bigrams_count
             FROM wstats ws LEFT JOIN bstats bs USING (doc_id)
         """,
-        # Gopher composite filter: same word/bigram stats CTEs as
-        # repetition_scores, plus token-level quality counts; every
-        # threshold an integer cross-multiplication (no float ratios)
+        # Gopher composite filter: EVERY signal (incl. repetition top-
+        # counts) over the same empty-filtered token stream; per-symbol
+        # ratio tests (the paper's "either" rule); every threshold an
+        # integer cross-multiplication (no float ratios)
         "quality_filter": f"""
-            WITH w AS (
-                SELECT doc_id, string_split(text, ' ') AS words FROM documents
-            ),
-            wstats AS (
-                SELECT doc_id, CAST(max(c) AS BIGINT) AS top_words_count
-                FROM (
-                    SELECT doc_id, g, count(*) AS c
-                    FROM (SELECT doc_id, unnest(words) AS g FROM w)
-                    GROUP BY doc_id, g
-                )
-                GROUP BY doc_id
-            ),
-            b AS (
+            WITH q AS (
                 SELECT doc_id,
-                       list_transform(
-                           range(1, len(words)),
-                           i -> words[i] || ' ' || words[i+1]
-                       ) AS bg
-                FROM w
-            ),
-            bstats AS (
-                SELECT doc_id,
-                       CAST(sum(c) AS BIGINT) AS n_bigrams,
-                       CAST(max(c) AS BIGINT) AS top_bigrams_count
-                FROM (
-                    SELECT doc_id, g, count(*) AS c
-                    FROM (SELECT doc_id, unnest(bg) AS g FROM b)
-                    GROUP BY doc_id, g
-                )
-                GROUP BY doc_id
-            ),
-            q AS (
-                SELECT doc_id,
+                       {_TOKS} AS tk,
                        len({_TOKS}) AS nw,
                        coalesce(list_sum(
                            list_transform({_TOKS}, t -> length(t))), 0) AS swc,
                        (length(text) - length(replace(text, '#', '')))
-                         + (len(string_split(text, '...')) - 1) AS n_symbols,
+                           AS n_hash,
+                       (len(string_split(text, '...')) - 1) AS n_ell,
                        len(list_filter({_TOKS},
                            t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
                        len(list_filter({_TOKS},
@@ -1332,27 +1304,56 @@ def oracle_sql() -> dict[str, str]:
                                                'that','have','with'], t)))
                            AS n_stop
                 FROM documents
+            ),
+            wstats AS (
+                SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word
+                FROM (
+                    SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id, unnest(tk) AS g FROM q)
+                    GROUP BY doc_id, g
+                )
+                GROUP BY doc_id
+            ),
+            b AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, len(tk)),
+                           i -> tk[i] || ' ' || tk[i+1]
+                       ) AS bg
+                FROM q
+            ),
+            bstats AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       CAST(max(c) AS BIGINT) AS top_bigram
+                FROM (
+                    SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+                    GROUP BY doc_id, g
+                )
+                GROUP BY doc_id
             )
             SELECT q.doc_id, q.nw AS n_words,
                    (q.nw < 10 OR q.nw > 100000) AS fail_word_count,
                    (q.swc < 3 * q.nw OR q.swc > 10 * q.nw)
                        AS fail_mean_word_len,
-                   (q.n_symbols * 10 > q.nw) AS fail_symbol_ratio,
+                   (q.n_hash * 10 > q.nw OR q.n_ell * 10 > q.nw)
+                       AS fail_symbol_ratio,
                    (q.n_alpha * 5 < q.nw * 4) AS fail_alpha_ratio,
                    (q.n_stop < 2) AS fail_stopwords,
-                   (ws.top_words_count * 5 > q.nw) AS fail_top_word,
-                   (coalesce(bs.top_bigrams_count, 0) * 50
+                   (coalesce(ws.top_word, 0) * 5 > q.nw) AS fail_top_word,
+                   (coalesce(bs.top_bigram, 0) * 50
                        > coalesce(bs.n_bigrams, 0) * 9) AS fail_top_bigram,
                    NOT ((q.nw < 10 OR q.nw > 100000)
                         OR (q.swc < 3 * q.nw OR q.swc > 10 * q.nw)
-                        OR (q.n_symbols * 10 > q.nw)
+                        OR (q.n_hash * 10 > q.nw OR q.n_ell * 10 > q.nw)
                         OR (q.n_alpha * 5 < q.nw * 4)
                         OR (q.n_stop < 2)
-                        OR (ws.top_words_count * 5 > q.nw)
-                        OR (coalesce(bs.top_bigrams_count, 0) * 50
+                        OR (coalesce(ws.top_word, 0) * 5 > q.nw)
+                        OR (coalesce(bs.top_bigram, 0) * 50
                             > coalesce(bs.n_bigrams, 0) * 9)) AS keep
             FROM q
-            JOIN wstats ws USING (doc_id)
+            LEFT JOIN wstats ws USING (doc_id)
             LEFT JOIN bstats bs USING (doc_id)
         """,
     }

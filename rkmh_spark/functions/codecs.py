@@ -236,18 +236,31 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def _aligned_pos(self) -> int:
+        """Byte position after discarding the current partial byte —
+        honoring byte stuffing: if the partly-consumed byte is a data
+        0xFF, its stuffed 0x00 must be skipped too (a padded-to-0xFF
+        byte before an RSTn is spec-legal and bit the roundtrip tests
+        until this accounted for it)."""
+        p = self.pos
+        if self.bit != 0:
+            byte = self.data[p]
+            p += 1
+            if byte == 0xFF and p < len(self.data) and self.data[p] == 0x00:
+                p += 1
+        return p
+
     def at_marker(self) -> int | None:
         """If positioned (byte-aligned or mid-byte) at an 0xFFxx marker
         (xx != 0), return xx without consuming."""
-        p = self.pos if self.bit == 0 else self.pos + 1
+        p = self._aligned_pos()
         d = self.data
         if p + 1 < len(d) and d[p] == 0xFF and d[p + 1] != 0x00:
             return d[p + 1]
         return None
 
     def skip_marker(self) -> None:
-        p = self.pos if self.bit == 0 else self.pos + 1
-        self.pos = p + 2
+        self.pos = self._aligned_pos() + 2
         self.bit = 0
 
 
@@ -353,6 +366,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + seglen
     if scan_pos is None or width is None or not comps:
         raise UnsupportedMediaError("JPEG missing SOF0/SOS")
+    for c in comps:
+        if (
+            c["tq"] not in qt
+            or c.get("td") not in huff_dc
+            or c.get("ta") not in huff_ac
+        ):
+            raise UnsupportedMediaError(
+                "JPEG scan component references a missing DQT/DHT table"
+            )
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -637,7 +659,7 @@ def real_decode_features(payload: bytes, kind: str, dim: int = 16) -> np.ndarray
             return mp4_metadata_features(parse_mp4_metadata(payload), dim=dim)
     except UnsupportedMediaError:
         raise
-    except (struct.error, zlib.error, ValueError, IndexError) as e:
+    except (struct.error, zlib.error, ValueError, IndexError, KeyError) as e:
         # truncated/malformed payloads surface as the documented honest
         # boundary, not a raw struct/zlib error that fails the whole
         # mapInPandas task (ADVICE r3)

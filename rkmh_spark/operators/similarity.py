@@ -404,6 +404,7 @@ def ivf_topk(
     queries: DataFrame | None = None,
     max_train: int = 100_000,
     bucket_cap: int = 1000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k (the brief's named alternative to
     hyperplane LSH): a coarse quantizer partitions vectors into inverted
@@ -428,7 +429,11 @@ def ivf_topk(
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
-    n = e.count()
+    # the modulus only needs an APPROXIMATE row count — callers at scale
+    # should pass n_rows from table statistics/metadata instead of
+    # paying this count job (r4 review; parquet counts are
+    # metadata-served, but a filtered/derived input would scan)
+    n = e.count() if n_rows is None else n_rows
     mod = max(1, -(-n // max_train))  # ceil
     sample = e if mod == 1 else e.where(
         F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0

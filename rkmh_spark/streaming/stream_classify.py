@@ -105,6 +105,20 @@ def _read_all(spark: SparkSession, root: str) -> DataFrame | None:
         for s in fs.listStatus(path)
     ):
         return None
+    # a PARTITIONED empty write (e.g. a first micro-batch with zero
+    # bands) leaves batch=<id>/_SUCCESS and no data files at all — with
+    # no schema-bearing part file anywhere, read.parquet raises instead
+    # of returning an empty frame (r4 review finding). Require ≥1 data
+    # file before attempting schema inference.
+    it = fs.listFiles(path, True)
+    has_data = False
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(".parquet"):
+            has_data = True
+            break
+    if not has_data:
+        return None
     return spark.read.option("basePath", root).parquet(root).drop("batch")
 
 
@@ -319,20 +333,28 @@ def compact_assignments(
     sigs = _read_all(spark, signatures_dir)
     if sigs is None:
         raise ValueError(f"no signatures under {signatures_dir}")
-    bands = _read_all(spark, bands_dir).drop("band_bucket")
-    pairs = candidate_pairs(bands, cfg)
-    verified = verify_pairs(pairs, sigs, cfg)
-    labels = connected_components(
-        verified.select("url_a", "url_b"),
-        cfg.max_cc_iterations,
-        driver_threshold=cfg.cc_driver_threshold,
-    )
-    assign = (
-        sigs.select("url")
-        .join(labels.withColumnRenamed("node", "url"), "url", "left")
-        .select("url", F.coalesce("label", "url").alias("cluster_id"))
-        .localCheckpoint(eager=True)  # materialize before touching the dir
-    )
+    bands = _read_all(spark, bands_dir)
+    if bands is None:
+        # signatures but no band state (e.g. crash between the two
+        # writes, or every batch was all-degenerate docs): no candidate
+        # pairs exist, so every page is its own cluster — not a crash
+        assign = sigs.select(
+            "url", F.col("url").alias("cluster_id")
+        ).localCheckpoint(eager=True)
+    else:
+        pairs = candidate_pairs(bands.drop("band_bucket"), cfg)
+        verified = verify_pairs(pairs, sigs, cfg)
+        labels = connected_components(
+            verified.select("url_a", "url_b"),
+            cfg.max_cc_iterations,
+            driver_threshold=cfg.cc_driver_threshold,
+        )
+        assign = (
+            sigs.select("url")
+            .join(labels.withColumnRenamed("node", "url"), "url", "left")
+            .select("url", F.coalesce("label", "url").alias("cluster_id"))
+            .localCheckpoint(eager=True)  # materialize before any delete
+        )
     _write_batch(assign, assignments_dir, "compacted")
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(assignments_dir)

@@ -566,3 +566,31 @@ def test_mp4_feature_dispatch_and_truncation():
     # truncated box tree maps to the honest boundary, not struct.error
     with pytest.raises(UnsupportedMediaError):
         real_decode_features(_mp4_bytes()[:40], kind="video")
+
+
+def test_jpeg_restart_padded_ff_before_marker():
+    """r4 review finding (reproduced 126/200 before the fix): when the
+    flush-padded byte before an RSTn is 0xFF, the encoder byte-stuffs it
+    (FF 00) and the decoder's marker probe must look past the stuffing —
+    otherwise the RST is never consumed and DC prediction never resets.
+    Sweep many seeds at restart_interval=1 (maximum marker density)."""
+    from rkmh_spark.functions.codecs import decode_jpeg
+
+    for seed in range(30):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(8, 32), dtype=np.uint8)  # 4 MCUs
+        dec = decode_jpeg(_encode_jpeg(img, q=4, restart_interval=1))
+        err = np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()
+        assert err <= 8, (seed, err)
+
+
+def test_jpeg_missing_tables_hits_honest_boundary():
+    """r4 review finding: SOF0+SOS without DQT/DHT must surface as
+    UnsupportedMediaError, not a raw KeyError through the dispatch."""
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes([1, 0x11, 0])
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    payload = b"\xff\xd8" + sof + sos + b"\x00" * 8 + b"\xff\xd9"
+    with pytest.raises(UnsupportedMediaError):
+        real_decode_features(payload, kind="image")

@@ -156,15 +156,34 @@ def test_gopher_quality_filter_flags(spark):
     assert out[4]["fail_alpha_ratio"] and not out[4]["keep"]
     assert out[5]["fail_stopwords"] and not out[5]["keep"]
     assert out[6]["fail_top_word"] and not out[6]["keep"]
-    # hash-keyed repetition path produces the identical decision
-    hashed = {
+
+
+def test_gopher_quality_filter_whitespace_and_either_rule(spark):
+    """r4 review findings: (a) runs of whitespace must never register as
+    a dominant repeated 'word' (repetition counts use the same
+    empty-filtered tokens as every other signal); (b) the symbol rule is
+    per-symbol ('either'), not a combined sum."""
+    from rkmh_spark.functions.text import gopher_quality_filter
+
+    rows = [
+        # double spaces between 8 distinct words + stopwords: must KEEP
+        (0, "the  cat  sat  on  mats  and  dogs  ran"),
+        # 20 words, one '#' and one '...': each ratio 0.05 <= 0.1 → KEEP
+        # (the combined-sum spelling would have dropped at 0.1 combined)
+        (1, "the cat# sat on... the mat and that dog have fun with "
+            "every body here now today again more"),
+        # 10 words, two '#': hash ratio 0.2 > 0.1 → symbol fail
+        (2, "the## cat## sat on the mat and that dog have"),
+    ]
+    out = {
         r["doc_id"]: r
         for r in gopher_quality_filter(
             spark.createDataFrame(rows, "doc_id long, text string"),
             min_words=5,
-            hash_keys=True,
         ).collect()
     }
-    assert {k: v["keep"] for k, v in out.items()} == {
-        k: v["keep"] for k, v in hashed.items()
-    }
+    assert not out[0]["fail_top_word"]
+    assert out[0]["keep"], dict(out[0].asDict())
+    assert not out[1]["fail_symbol_ratio"]
+    assert out[1]["keep"], dict(out[1].asDict())
+    assert out[2]["fail_symbol_ratio"] and not out[2]["keep"]

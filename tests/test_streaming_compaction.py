@@ -152,3 +152,40 @@ def test_streaming_probe_plan_prunes_and_no_quadratic_join(spark, tmp_path):
     assert sorted(map(tuple, pairs.collect())) == sorted(
         map(tuple, unpruned.collect())
     )
+
+
+def test_empty_first_batch_then_normal_batch(spark, tmp_path):
+    """r4 review findings: a first micro-batch of all-degenerate docs
+    writes an EMPTY partitioned band dir (no data files) — later batches
+    must treat the stored state as absent, not crash schema inference;
+    and compacting a signatures-only state yields singleton clusters."""
+    sigs_d, bands_d, asg_d = (
+        str(tmp_path / "s"), str(tmp_path / "b"), str(tmp_path / "a")
+    )
+    t1, t2, _ = _texts()
+    # every doc shorter than k=8 bytes → zero shingles → zero bands
+    degenerate = _mk(spark, [("p://tiny1", "ab"), ("p://tiny2", "cd")])
+    process_incremental_batch(
+        spark, degenerate, 0, CFG, sigs_d, bands_d, asg_d
+    )
+    # batch 1 must probe the (file-less) stored band dir without error
+    process_incremental_batch(
+        spark,
+        _mk(spark, [("p://a1", t1), ("p://a2", t1)]),
+        1, CFG, sigs_d, bands_d, asg_d,
+    )
+    assign = {
+        r["url"]: r["cluster_id"] for r in _read_all(spark, asg_d).collect()
+    }
+    assert assign["p://a1"] == assign["p://a2"]
+
+    # compaction over a signatures-only state (no band files at all)
+    sigs2, bands2, asg2 = (
+        str(tmp_path / "s2"), str(tmp_path / "b2"), str(tmp_path / "a2")
+    )
+    process_incremental_batch(
+        spark, degenerate, 0, CFG, sigs2, bands2, asg2
+    )
+    out = compact_assignments(spark, CFG, sigs2, bands2, asg2)
+    got = {r["url"]: r["cluster_id"] for r in out.collect()}
+    assert got == {"p://tiny1": "p://tiny1", "p://tiny2": "p://tiny2"}
