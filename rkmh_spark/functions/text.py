@@ -67,16 +67,24 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _adjacent_bigrams(words: Column) -> Column:
     """Adjacent-pair bigram array ("w1 w2") of a word array; empty for
-    arrays shorter than 2 (guarding F.sequence, which is DESCENDING for
-    sequence(0, -1), not empty)."""
-    return F.transform(
-        F.when(
-            F.size(words) >= 2, F.sequence(F.lit(0), F.size(words) - 2)
-        ).otherwise(F.array().cast("array<int>")),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+    arrays shorter than 2.
+
+    Spelled zip_with(slice(w,1,n-1), slice(w,2,n-1)) rather than
+    transform(sequence, i -> element_at(w, i)…): a higher-order function
+    evaluates its ARGUMENT expressions once per row, but an element_at(w,
+    i) INSIDE the lambda re-evaluates ``w`` per element when ``w`` is
+    itself an expression (split/array_remove) and subexpression
+    elimination doesn't reach the interpreted lambda path — measured as
+    a quadratic-per-row blowup (22.9 s quality_filter) in r4."""
+    n = F.size(words)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _max_run_length(sorted_arr: Column) -> Column:
