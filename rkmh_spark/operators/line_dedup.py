@@ -93,6 +93,13 @@ def window_text_lines(
     """Reshape single-line space-separated text into ``words_per_line``-word
     lines joined by '\\n' (the testdata documents carry no newlines; this
     gives line_dedup a deterministic, SQL-reproducible line structure).
+
+    Note: the slice-inside-transform spelling is O(n²/words_per_line)
+    per row in the worst case (the lambda's slice re-walks the words
+    expression per line — same mechanism as the r4 bigram finding,
+    functions/text.py:_adjacent_bigrams). Fine for page-sized docs
+    (~1.9 s at sf0.1); for book-length rows respell the chunking as a
+    regexp_replace inserting '\\n' after every Nth word.
     """
     words = F.split(F.col(text_col), " ")
     n_lines = F.ceil(F.size(words) / F.lit(words_per_line)).cast("int")
