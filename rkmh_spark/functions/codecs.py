@@ -344,9 +344,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise UnsupportedMediaError(f"JPEG with {nc} components")
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                )
+                ch, cv = hv >> 4, hv & 0x0F
+                # the upsample step divides by these (vmax // v); a zero
+                # factor is a ZeroDivisionError escaping the honest
+                # boundary (ADVICE r4), and >2 needs subsampling layouts
+                # this decoder doesn't implement (4:4:4/4:2:2/4:2:0 only)
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise UnsupportedMediaError(
+                        f"JPEG sampling factor {ch}x{cv} out of supported "
+                        "range 1..2"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
@@ -392,9 +400,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 m = br.at_marker()
-                if m is not None and 0xD0 <= m <= 0xD7:
-                    br.skip_marker()
-                    pred = [0] * len(comps)
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    # spec-valid streams ALWAYS carry RSTn here when DRI
+                    # is set; silently continuing without resetting the
+                    # DC predictors would decode garbage (ADVICE r4)
+                    raise UnsupportedMediaError(
+                        "JPEG missing RSTn marker at restart boundary"
+                    )
+                br.skip_marker()
+                pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 dq = qt[c["tq"]]
                 for by in range(c["v"]):

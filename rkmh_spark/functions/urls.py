@@ -27,7 +27,9 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _REST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)"
-_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid)="
+# (=|$) not just "=": valueless spellings ('?gclid', '&utm_source') must
+# also collide with their clean counterparts (ADVICE r4)
+_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid)(=|$)"
 
 
 def canonical_url(url: Column | str) -> Column:

@@ -440,8 +440,21 @@ def ivf_topk(
     )
     tbl = sample.select("vec_id", "vec").toArrow()
     if tbl.num_rows == 0:
+        # id columns keep the caller's id type — a hard-coded `long`
+        # disagreed with the non-empty path for string/int ids (ADVICE r4)
+        from pyspark.sql import types as T
+
+        id_type = e.schema["vec_id"].dataType
         return e.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", id_type),
+                    T.StructField("neighbor_id", id_type),
+                    T.StructField("cosine", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
         )
     ids = np.asarray(tbl.column(0).to_pylist())
     X = np.asarray(tbl.column(1).to_pylist(), dtype=np.float64)

@@ -594,3 +594,46 @@ def test_jpeg_missing_tables_hits_honest_boundary():
     payload = b"\xff\xd8" + sof + sos + b"\x00" * 8 + b"\xff\xd9"
     with pytest.raises(UnsupportedMediaError):
         real_decode_features(payload, kind="image")
+
+
+def test_jpeg_zero_sampling_factor_hits_honest_boundary():
+    """ADVICE r4 (medium): SOF0 declaring h or v = 0 previously reached
+    the upsample's vmax // v as a raw ZeroDivisionError, escaping the
+    honest boundary and failing the whole task. Also reject factors > 2
+    (subsampling layouts this decoder doesn't implement)."""
+    from rkmh_spark.functions.codecs import decode_jpeg
+
+    def sof_payload(hv: int) -> bytes:
+        sof = b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+            ">BHHB", 8, 8, 8, 1
+        ) + bytes([1, hv, 0])
+        return b"\xff\xd8" + sof + b"\xff\xd9"
+
+    for hv in (0x01, 0x10, 0x41, 0x14):  # h=0 / v=0 / h=4 / v=4
+        with pytest.raises(UnsupportedMediaError, match="sampling factor"):
+            decode_jpeg(sof_payload(hv))
+        # and through the dispatch seam, still the honest boundary
+        with pytest.raises(UnsupportedMediaError):
+            real_decode_features(sof_payload(hv), kind="image")
+
+
+def test_jpeg_missing_rst_at_restart_boundary_raises():
+    """ADVICE r4: DRI set but no RSTn in the entropy stream at an MCU
+    restart boundary — spec-valid streams always carry the marker; the
+    decoder must raise instead of silently decoding garbage with stale
+    DC predictors. Built by splicing a DRI segment into a stream encoded
+    WITHOUT restart markers."""
+    from rkmh_spark.functions.codecs import decode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(16, 40), dtype=np.uint8)  # 10 MCUs
+    payload = _encode_jpeg(img, q=4, restart_interval=0)
+    assert b"\xff\xdd" not in payload
+    sos_at = payload.index(b"\xff\xda")
+    spliced = (
+        payload[:sos_at]
+        + b"\xff\xdd" + struct.pack(">HH", 4, 3)
+        + payload[sos_at:]
+    )
+    with pytest.raises(UnsupportedMediaError, match="RSTn"):
+        decode_jpeg(spliced)

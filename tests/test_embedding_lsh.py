@@ -185,3 +185,19 @@ def test_ivf_topk_sampled_training(spark, planted):
         planted, k=1, n_centroids=4, n_probe=4, seed=5, max_train=50
     )
     assert rows == sorted(map(tuple, out2.collect()))
+
+
+def test_ivf_topk_empty_input_schema_matches_id_type(spark):
+    """ADVICE r4: the empty-input early return must carry the caller's id
+    type, not a hard-coded long — schema parity with the non-empty path."""
+    from rkmh_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = ivf_topk(empty, id_col="vec_id", vec_col="embedding")
+    assert out.count() == 0
+    assert dict(out.dtypes) == {
+        "query_id": "string",
+        "neighbor_id": "string",
+        "cosine": "double",
+        "rank": "int",
+    }

@@ -100,6 +100,77 @@ def test_compaction_merges_clusters_bridged_across_batches(spark, tmp_path):
     assert again == after
 
 
+def test_read_all_prefers_compacted_in_crash_window(spark, tmp_path):
+    """ADVICE r4: compact_assignments writes batch=compacted BEFORE
+    deleting stale batch=* dirs. If the process dies in between, readers
+    must not see two conflicting cluster ids for one url — the compacted
+    partition is authoritative for every url it contains; other
+    partitions contribute only urls compacted never saw (batches
+    appended after the compaction)."""
+    from rkmh_spark.streaming.stream_classify import _write_batch
+
+    asg_d = str(tmp_path / "a")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "url string, cluster_id string"
+    )
+    # stale pre-compaction batches (split historical ids)
+    _write_batch(mk([("p://a1", "p://a1"), ("p://b1", "p://b1")]), asg_d, 0)
+    # the compaction merged a1/b1 into one cluster…
+    _write_batch(
+        mk([("p://a1", "p://a1"), ("p://b1", "p://a1")]), asg_d, "compacted"
+    )
+    # …and a post-compaction batch added a brand-new url
+    _write_batch(mk([("p://c1", "p://c1")]), asg_d, 7)
+    got = {r["url"]: r["cluster_id"] for r in _read_all(spark, asg_d).collect()}
+    # one row per url; compacted wins for urls it covers; new url kept
+    assert got == {"p://a1": "p://a1", "p://b1": "p://a1", "p://c1": "p://c1"}
+    assert _read_all(spark, asg_d).count() == 3  # no conflicting dup rows
+
+
+def test_stream_auto_compaction_converges(spark, tmp_path):
+    """VERDICT r4 #6: with compact_every_n_batches set, a multi-batch
+    stream converges to the batch-mode assignment without the caller ever
+    invoking compact_assignments — compaction fires INSIDE foreachBatch.
+    Three stream drains (batch ids 0,1,2), bridge page last; after the
+    mid-stream drains the assignments dir holds only batch=compacted
+    (proof the hook fired mid-stream, not just at the end)."""
+    import os
+
+    from rkmh_spark.streaming.stream_classify import incremental_dedup_stream
+
+    t1, t2, bridge = _texts()
+    batches = [
+        [("p://a1", t1), ("p://a2", t1)],
+        [("p://b1", t2), ("p://b2", t2)],
+        [("p://c1", bridge)],
+    ]
+    src = str(tmp_path / "in")
+    sigs_d = str(tmp_path / "s")
+    asg_d = str(tmp_path / "a")
+    ck = str(tmp_path / "ck")
+    for i, b in enumerate(batches):
+        _mk(spark, b).coalesce(1).write.mode("append").parquet(src)
+        q = incremental_dedup_stream(
+            spark, src, CFG, sigs_d, asg_d, ck, compact_every_n_batches=1
+        )
+        q.awaitTermination(180)
+        # compaction ran inside this micro-batch: only the compacted
+        # partition remains
+        parts = [n for n in os.listdir(asg_d) if n.startswith("batch=")]
+        assert parts == ["batch=compacted"], (i, parts)
+
+    after = {
+        r["url"]: r["cluster_id"] for r in _read_all(spark, asg_d).collect()
+    }
+    all_pages = _mk(spark, [p for b in batches for p in b])
+    batch_assign = {
+        r["url"]: r["cluster_id"]
+        for r in dedup_pages(all_pages, CFG).assignments.collect()
+    }
+    assert after == batch_assign
+    assert len(set(after.values())) == 1  # the bridge healed everywhere
+
+
 def test_streaming_probe_plan_prunes_and_no_quadratic_join(spark, tmp_path):
     """VERDICT r3 #8: the per-batch probe's executed plan must (a) prune
     the stored band table to the new batch's band_bucket partitions

@@ -28,6 +28,12 @@ from rkmh_spark.functions.urls import canonical_url, url_dedup
             "https://example.com/a?fbclid=f&msclkid=m&utm_campaign=c",
             "https://example.com/a",
         ),
+        # valueless tracking params are dropped too (ADVICE r4)
+        ("https://example.com/a?gclid&utm_source", "https://example.com/a"),
+        ("https://example.com/a?gclid&b=1", "https://example.com/a?b=1"),
+        # ...but a non-tracking param whose NAME merely starts the same
+        # way survives ('gclid2' is not 'gclid')
+        ("https://example.com/a?gclid2=x", "https://example.com/a?gclid2=x"),
         # empty path -> "/", trailing slash stripped on non-root
         ("https://example.com", "https://example.com/"),
         ("https://example.com/", "https://example.com/"),
