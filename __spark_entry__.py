@@ -470,16 +470,24 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest centroid — the true top-1 is ALWAYS in the probed lists, and
     exact re-ranking over a candidate superset containing the true top-1
     returns exactly the brute-force top-1. The quantizer is a seeded
-    NumPy k-means++ over an id-sorted hash-sample → deterministic."""
+    NumPy k-means++ over an id-sorted hash-sample → deterministic.
+
+    n_rows comes from the parquet footer (+25 planted) — table
+    statistics, not a Spark count job (VERDICT r4 #5; the sample modulus
+    only needs an approximate count)."""
+    import pyarrow.parquet as pq
+
     from rkmh_spark.operators.similarity import ivf_topk
 
     emb = _planted_embeddings(spark, sf_dir)
+    n_base = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     return ivf_topk(
         emb,
         k=1,
         n_centroids=16,
         n_probe=4,
         queries=emb.where(F.col("vec_id") >= 100000),
+        n_rows=n_base + 25,
     )
 
 
@@ -719,6 +727,58 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Raw-url spelling variants synthesized deterministically from doc_id
+# (the testdata carries no url column): m = doc_id % 10 picks a spelling
+# rule, g = doc_id div 10 picks the page, so each page-g appears under
+# several spellings that MUST collide after canonicalization. The same
+# CASE builds the urls in both engines; the DuckDB oracle then derives
+# the EXPECTED canonical from the construction (it knows which rule each
+# variant exercises) rather than re-implementing the regex pipeline —
+# an oracle-mirror bug here is structurally impossible (r4 lesson).
+# ``intdiv``: Spark spells integer division DIV, DuckDB spells it //.
+def _url_variants_sql(intdiv: str) -> str:
+    g = f"CAST(doc_id {intdiv} 10 AS STRING)"
+    return f"""CASE doc_id % 10
+        WHEN 0 THEN 'http://example.com/page/' || {g}
+        WHEN 1 THEN 'HTTP://EXAMPLE.COM:80/page/' || {g}
+        WHEN 2 THEN 'http://example.com/page/' || {g} || '/'
+        WHEN 3 THEN 'http://example.com/page/' || {g} || '#frag'
+        WHEN 4 THEN 'http://example.com/page/' || {g} || '?utm_source=feed&gclid'
+        WHEN 5 THEN 'http://example.com/page/' || {g} || '?b=2&a=1'
+        WHEN 6 THEN 'http://example.com/page/' || {g} || '?a=1&b=2&utm_campaign=x'
+        WHEN 7 THEN 'https://example.com:443/Page/' || {g}
+        WHEN 8 THEN 'https://example.com'
+        ELSE 'not a url ' || {g}
+    END"""
+
+
+def _url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"({_url_variants_sql('DIV')}) AS url"
+    )
+
+
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py — crawl-dedup first pass):
+    scheme/host lowercasing, default-port strip, fragment drop, tracking-
+    param removal (incl. valueless), query-param sort, path normalization.
+    Pure relational; the oracle knows the expected canonical per variant
+    by construction (VERDICT r4 #1 — the last pytest-only operator)."""
+    from rkmh_spark.functions.urls import canonical_url
+
+    return _url_pages(spark, sf_dir).withColumn(
+        "canonical_url", canonical_url("url")
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """url-level dedup: newest fetch per canonical url (fetch order =
+    doc_id, deterministic). One window shuffle on the canonical key."""
+    from rkmh_spark.functions.urls import url_dedup
+
+    return url_dedup(_url_pages(spark, sf_dir), ts_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -765,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "repetition_scores": q_repetition_scores,
         "quality_filter": q_quality_filter,
+        "canonical_urls": q_canonical_urls,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -1355,5 +1417,48 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             LEFT JOIN wstats ws USING (doc_id)
             LEFT JOIN bstats bs USING (doc_id)
+        """,
+        # expected canonical derived from the CONSTRUCTION (which rule
+        # each m-variant exercises), never by re-running a canonicalizer:
+        # m 0-4 are pure spellings of the plain page url (case, default
+        # port, trailing slash, fragment, tracking-only query); m 5-6
+        # sort/strip to ?a=1&b=2; m 7 keeps https + path case; m 8 is the
+        # empty-path rule; m 9 has no scheme and passes through unchanged.
+        "canonical_urls": f"""
+            SELECT doc_id, {_url_variants_sql('//')} AS url,
+                   CASE
+                     WHEN doc_id % 10 <= 4
+                       THEN 'http://example.com/page/' || CAST(doc_id // 10 AS STRING)
+                     WHEN doc_id % 10 <= 6
+                       THEN 'http://example.com/page/' || CAST(doc_id // 10 AS STRING) || '?a=1&b=2'
+                     WHEN doc_id % 10 = 7
+                       THEN 'https://example.com/Page/' || CAST(doc_id // 10 AS STRING)
+                     WHEN doc_id % 10 = 8
+                       THEN 'https://example.com/'
+                     ELSE 'not a url ' || CAST(doc_id // 10 AS STRING)
+                   END AS canonical_url
+            FROM documents
+        """,
+        "url_dedup": f"""
+            WITH c AS (
+                SELECT doc_id, {_url_variants_sql('//')} AS url,
+                       CASE
+                         WHEN doc_id % 10 <= 4
+                           THEN 'http://example.com/page/' || CAST(doc_id // 10 AS STRING)
+                         WHEN doc_id % 10 <= 6
+                           THEN 'http://example.com/page/' || CAST(doc_id // 10 AS STRING) || '?a=1&b=2'
+                         WHEN doc_id % 10 = 7
+                           THEN 'https://example.com/Page/' || CAST(doc_id // 10 AS STRING)
+                         WHEN doc_id % 10 = 8
+                           THEN 'https://example.com/'
+                         ELSE 'not a url ' || CAST(doc_id // 10 AS STRING)
+                       END AS canonical_url
+                FROM documents
+            )
+            SELECT doc_id, url, canonical_url FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY canonical_url ORDER BY doc_id DESC, url ASC
+                ) AS rk FROM c
+            ) WHERE rk = 1
         """,
     }

@@ -6,17 +6,35 @@ column is materialized (a bare count() would let Catalyst prune the work).
 
 Extra keys beyond the required contract:
   pages_per_sec  — flagship dedup throughput (docs / dedup seconds)
+  calibration_8w_iters_per_sec — Spark-free numpy burn on an 8-worker
+      pool (same yardstick bench_scaling.py uses), run BEFORE the query
+      loop. This host's wall-clock varies 2-3× between load windows
+      (VERDICT r4 adjudicated a phantom 2× "regression" as host
+      weather); dividing per-query times by the calibration ratio makes
+      BENCH_r*.json comparable across rounds.
+  loadavg_start  — 1-min load average when the bench started
   scaling        — optional; populated by bench_scaling.py runs
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _calibrate_8w() -> float:
+    from bench_scaling import _burn
+
+    with mp.Pool(8) as p:
+        t0 = time.perf_counter()
+        its = p.map(_burn, range(8))
+        wall = time.perf_counter() - t0
+    return round(sum(its) / wall, 1)
 
 
 def _run(df) -> None:
@@ -26,6 +44,8 @@ def _run(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    loadavg = round(os.getloadavg()[0], 2)
+    calibration = _calibrate_8w()
 
     import __spark_entry__ as entry
     from rkmh_spark.session import get_spark
@@ -77,6 +97,8 @@ def main() -> None:
         "pages_per_sec": round(n_docs / dedup_sec, 1) if dedup_sec else None,
         "n_docs": n_docs,
         "cpus": cpus,
+        "calibration_8w_iters_per_sec": calibration,
+        "loadavg_start": loadavg,
     }
     print(json.dumps(out))
     spark.stop()

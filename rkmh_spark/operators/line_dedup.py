@@ -94,23 +94,20 @@ def window_text_lines(
     lines joined by '\\n' (the testdata documents carry no newlines; this
     gives line_dedup a deterministic, SQL-reproducible line structure).
 
-    Note: the slice-inside-transform spelling is O(n²/words_per_line)
-    per row in the worst case (the lambda's slice re-walks the words
-    expression per line — same mechanism as the r4 bigram finding,
-    functions/text.py:_adjacent_bigrams). Fine for page-sized docs
-    (~1.9 s at sf0.1); for book-length rows respell the chunking as a
-    regexp_replace inserting '\\n' after every Nth word.
+    Spelled as ONE regexp_replace turning every Nth word-separating space
+    into '\\n' — linear per row and fully codegen'd. (The r4 spelling
+    sliced the words array inside a transform lambda; slice-in-lambda
+    re-evaluates the words expression per line on the interpreted HOF
+    path — O(n²/words_per_line) per row, the same mechanism as the r4
+    bigram finding in functions/text.py. VERDICT r4 #3.) A "word" is any
+    run of non-space chars INCLUDING the empty run between two adjacent
+    spaces — exactly what split(text, ' ') yields, so the respelling is
+    output-identical to the array spelling (pytest-pinned, incl. a
+    100k-word row). The pattern is backtrack-free: `[^ ]*` can never
+    consume the following literal space.
     """
-    words = F.split(F.col(text_col), " ")
-    n_lines = F.ceil(F.size(words) / F.lit(words_per_line)).cast("int")
-    lines = F.transform(
-        F.when(n_lines >= 1, F.sequence(F.lit(0), n_lines - 1)).otherwise(
-            F.array().cast("array<int>")
-        ),
-        lambda i: F.array_join(
-            F.slice(words, i * words_per_line + 1, words_per_line), " "
-        ),
-    )
+    pat = "((?:[^ ]* ){%d}[^ ]*) " % (words_per_line - 1)
     return documents.select(
-        F.col(id_col), F.array_join(lines, "\n").alias(text_col)
+        F.col(id_col),
+        F.regexp_replace(F.col(text_col), pat, "$1\n").alias(text_col),
     )

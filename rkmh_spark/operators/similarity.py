@@ -219,11 +219,22 @@ def _sharded_probe_join(
     every shard of its key. All pairs are still produced; the hot key's
     work spreads over m tasks. Shared by lsh_topk (key=bucket) and
     ivf_topk (key=centroid_id — VERDICT r3: the centroid join previously
-    had no guard, and KMeans routinely yields one dominant cluster)."""
+    had no guard, and KMeans routinely yields one dominant cluster).
+
+    ``nsz`` feeds TWO plan branches (the per-key shard count for query
+    replication and the final sharded join) — without materialization the
+    census window and the whole nb lineage evaluate once per branch, ×4
+    tables in lsh_topk (VERDICT r4 #4; same recompute class as the r3
+    simhash_bands incident). Eager localCheckpoint = one census
+    computation per call; rows are 4 small fixed-width columns."""
     w = Window.partitionBy(key)
-    nsz = nb.withColumn(
-        "m", F.ceil(F.count("*").over(w) / F.lit(cap)).cast("long")
-    ).withColumn("shard", F.pmod(F.xxhash64(nid), F.col("m")))
+    nsz = (
+        nb.withColumn(
+            "m", F.ceil(F.count("*").over(w) / F.lit(cap)).cast("long")
+        )
+        .withColumn("shard", F.pmod(F.xxhash64(nid), F.col("m")))
+        .localCheckpoint(eager=True)
+    )
     qrep = qb.join(nsz.select(key, "m").distinct(), key).select(
         qid,
         key,

@@ -187,3 +187,45 @@ def test_gopher_quality_filter_whitespace_and_either_rule(spark):
     assert not out[1]["fail_symbol_ratio"]
     assert out[1]["keep"], dict(out[1].asDict())
     assert out[2]["fail_symbol_ratio"] and not out[2]["keep"]
+
+
+def test_window_text_lines_matches_array_semantics_and_is_linear(spark):
+    """VERDICT r4 #3: the regexp_replace respelling must be output-
+    identical to the original slice-the-words-array semantics (a word is
+    any [^ ]* run, INCLUDING empties between adjacent spaces) — checked
+    against a pure-Python reference — and must handle a book-length
+    (100k-word) row in linear time (the slice-in-lambda spelling was
+    O(n²/words_per_line) per row)."""
+    import time
+
+    def reference(text, n=10):
+        words = text.split(" ")
+        return "\n".join(
+            " ".join(words[i : i + n]) for i in range(0, len(words), n)
+        )
+
+    fixtures = [
+        (0, ""),
+        (1, "one"),
+        (2, " ".join(f"w{i}" for i in range(9))),    # < N words
+        (3, " ".join(f"w{i}" for i in range(10))),   # exactly N
+        (4, " ".join(f"w{i}" for i in range(11))),   # N + 1
+        (5, " ".join(f"w{i}" for i in range(23))),
+        (6, "a  b   c " + " ".join("x" * 3 for _ in range(20))),  # empties
+        (7, " leading and trailing "),
+    ]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in window_text_lines(_docs(spark, fixtures)).collect()
+    }
+    for doc_id, text in fixtures:
+        assert out[doc_id] == reference(text), (doc_id, out[doc_id])
+
+    wide = (99, " ".join(f"w{i % 97}" for i in range(100_000)))
+    t0 = time.perf_counter()
+    got = window_text_lines(_docs(spark, [wide])).collect()[0]["text"]
+    wall = time.perf_counter() - t0
+    assert got == reference(wide[1])
+    # the quadratic spelling took minutes on this row; linear is < ~2 s
+    # even on a stormy host — generous bound to stay flake-free
+    assert wall < 30, wall
