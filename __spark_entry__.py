@@ -771,6 +771,34 @@ def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HTML wrappers synthesized deterministically from documents (testdata
+# carries no raw HTML): m = doc_id % 3 picks a construction exercising a
+# distinct rule set (script/style/comment removal + block newlines;
+# entity decoding; <br>/&nbsp;/whitespace collapsing). The oracle derives
+# the EXPECTED text from the construction, never by re-running a
+# stripper — same independence argument as the url queries.
+_HTML_CASE = """CASE doc_id % 3
+    WHEN 0 THEN '<html><head><script a="b">var x=1;</script>'
+        || '<style>.a color:red</style></head><body><!--note--><h1>Title '
+        || CAST(doc_id AS STRING) || '</h1><p>' || text
+        || '</p><div>footer &amp; tail</div></body></html>'
+    WHEN 1 THEN '<p>A &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p><ul><li>'
+        || text || '</li></ul>'
+    ELSE '<div>multi<br>line &nbsp;spaced</div>after ' || text
+END"""
+
+
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible-text extraction (functions/html.py): strip
+    script/style/comments, block tags → newlines, entity decode,
+    whitespace normalization. One codegen'd projection, zero shuffle."""
+    from rkmh_spark.functions.html import html_to_text
+
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"({_HTML_CASE}) AS html"
+    ).select("doc_id", "html", html_to_text("html").alias("text"))
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """url-level dedup: newest fetch per canonical url (fetch order =
     doc_id, deterministic). One window shuffle on the canonical key."""
@@ -827,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "canonical_urls": q_canonical_urls,
         "url_dedup": q_url_dedup,
+        "html_text": q_html_text,
     }
 
 
@@ -1460,5 +1489,19 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY canonical_url ORDER BY doc_id DESC, url ASC
                 ) AS rk FROM c
             ) WHERE rk = 1
+        """,
+        # expected visible text derived from the CONSTRUCTION (which
+        # template each m-variant wraps the doc in), not by re-running a
+        # tag stripper in SQL
+        "html_text": f"""
+            SELECT doc_id, {_HTML_CASE} AS html,
+                   CASE doc_id % 3
+                     WHEN 0 THEN 'Title ' || CAST(doc_id AS STRING)
+                         || chr(10) || text || chr(10) || 'footer & tail'
+                     WHEN 1 THEN 'A <tag> "q" ''s''' || chr(10) || text
+                     ELSE 'multi' || chr(10) || 'line spaced' || chr(10)
+                         || 'after ' || text
+                   END AS text
+            FROM documents
         """,
     }

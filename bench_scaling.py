@@ -226,7 +226,7 @@ def main() -> None:
             pass
 
     prior_log.append({
-        "run": f"round-4 code, {N_CLUSTERS} clusters ({best[2]['pages']} pages)",
+        "run": f"round-5 code, {N_CLUSTERS} clusters ({best[2]['pages']} pages)",
         "eff_2_to_8": round(eff_2_8, 3),
         "host_calibration_8w_iters_per_sec": cal["8"],
     })

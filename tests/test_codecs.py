@@ -637,3 +637,75 @@ def test_jpeg_missing_rst_at_restart_boundary_raises():
     )
     with pytest.raises(UnsupportedMediaError, match="RSTn"):
         decode_jpeg(spliced)
+
+
+def _stbl_with_sample_tables(uniform: bool) -> bytes:
+    """stbl carrying stsd + stsz + stco, built from the ISO-BMFF spec."""
+    avc1 = struct.pack(">I", 16) + b"avc1" + bytes(8)
+    stsd = _mp4_box(b"stsd", bytes(4) + struct.pack(">I", 1) + avc1)
+    if uniform:
+        stsz = _mp4_box(b"stsz", bytes(4) + struct.pack(">II", 200, 10))
+    else:
+        sizes = [100, 200, 300, 400, 500]
+        stsz = _mp4_box(
+            b"stsz",
+            bytes(4)
+            + struct.pack(">II", 0, len(sizes))
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+    stco = _mp4_box(
+        b"stco", bytes(4) + struct.pack(">III", 2, 4096, 65536)
+    )
+    return _mp4_box(b"stbl", stsd + stsz + stco)
+
+
+def test_mp4_sample_tables_parsed():
+    """VERDICT r4 #8: stsz/stco sample-table metadata (frame counts, byte
+    totals, chunk counts) without frame decode. Both stsz spellings:
+    per-sample size table (sample_size=0) and uniform sample_size."""
+    from rkmh_spark.functions.codecs import parse_mp4_metadata
+
+    def payload(uniform):
+        ftyp = _mp4_box(b"ftyp", b"mp42\x00\x00\x00\x00mp42")
+        mvhd = _mp4_box(
+            b"mvhd",
+            bytes(4) + struct.pack(">IIII", 0, 0, 1000, 5000) + bytes(80),
+        )
+        tkhd = _mp4_box(
+            b"tkhd",
+            bytes(4)
+            + struct.pack(">IIIII", 0, 0, 1, 0, 5000)
+            + bytes(52)
+            + struct.pack(">II", 640 << 16, 360 << 16),
+        )
+        mdia = _mp4_box(
+            b"mdia", _mp4_box(b"minf", _stbl_with_sample_tables(uniform))
+        )
+        moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd + mdia))
+        return ftyp + moov
+
+    meta = parse_mp4_metadata(payload(uniform=False))
+    assert meta["n_samples"] == 5
+    assert meta["total_sample_bytes"] == 1500
+    assert meta["n_chunks"] == 2
+    meta_u = parse_mp4_metadata(payload(uniform=True))
+    assert meta_u["n_samples"] == 10
+    assert meta_u["total_sample_bytes"] == 2000
+
+    # features: n_samples / n_chunks / mean byte rate at positions 5-7
+    feats = real_decode_features(payload(uniform=False), kind="video")
+    assert feats[5] == 5.0 and feats[6] == 2.0
+    assert abs(feats[7] - 1500 / 5.0) < 1e-6
+
+    # stsz declaring more entries than its box holds → honest boundary
+    bad_stsz = _mp4_box(
+        b"stsz", bytes(4) + struct.pack(">II", 0, 999) + b"\x00" * 8
+    )
+    ftyp = _mp4_box(b"ftyp", b"mp42\x00\x00\x00\x00mp42")
+    mvhd = _mp4_box(
+        b"mvhd",
+        bytes(4) + struct.pack(">IIII", 0, 0, 1000, 5000) + bytes(80),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"stbl", bad_stsz))
+    with pytest.raises(UnsupportedMediaError, match="stsz"):
+        parse_mp4_metadata(ftyp + moov)
