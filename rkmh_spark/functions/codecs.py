@@ -461,6 +461,162 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
 
 
+def decode_jpeg_dc_preview(payload: bytes) -> np.ndarray:
+    """Progressive (SOF2, huffman) JPEG → full-size BLOCKY preview from
+    the first scan only (VERDICT r4 #8).
+
+    A progressive stream's first scan must be a complete DC scan
+    (T.81 G.1: every component's DC coefficients at successive-
+    approximation high bit 0) — and the DC scan's entropy coding is the
+    same DIFF/huffman scheme as baseline (G.1.2.1), so decoding just it
+    needs nothing beyond the machinery already here. A DC-only block
+    IDCTs to the constant dequantized_dc/8 + 128, i.e. the preview is
+    the image's 8×8 block means — real pixels for thumbnail features,
+    dedup sketches, and brightness stats, upsampled back to (H, W, C) so
+    feature extraction sees true dimensions. Later (AC / refinement)
+    scans are ignored; full progressive reconstruction stays behind the
+    honest boundary. Arithmetic-coded and hierarchical JPEGs still
+    raise."""
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    comps: list[dict] = []
+    width = height = None
+    restart_interval = 0
+    scan_pos = al = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise UnsupportedMediaError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise UnsupportedMediaError("16-bit JPEG quant table")
+                qt[tq] = np.frombuffer(
+                    body, np.uint8, count=64, offset=b + 1
+                ).astype(np.int32)
+                b += 65
+        elif marker == 0xC4:  # DHT — only DC-class tables matter here
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                if tc == 0:
+                    huff_dc[th] = _build_huffman(
+                        bits, body[b + 17 : b + 17 + n]
+                    )
+                b += 17 + n
+        elif marker == 0xC2:  # SOF2 progressive, huffman
+            prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise UnsupportedMediaError(f"JPEG precision {prec} != 8")
+            if nc not in (1, 3):
+                raise UnsupportedMediaError(f"JPEG with {nc} components")
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise UnsupportedMediaError(
+                        f"JPEG sampling factor {ch}x{cv} out of supported "
+                        "range 1..2"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"not a progressive-huffman JPEG (SOF 0xFF{marker:02X}); "
+                "baseline goes through decode_jpeg"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # first SOS
+            ns = body[0]
+            if not comps or ns != len(comps):
+                raise UnsupportedMediaError(
+                    "progressive JPEG first scan does not cover every "
+                    "component"
+                )
+            for i in range(ns):
+                cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
+                for c in comps:
+                    if c["id"] == cs:
+                        c["td"] = td_ta >> 4
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if ss != 0 or se != 0 or (ahal >> 4) != 0:
+                raise UnsupportedMediaError(
+                    "progressive JPEG first scan is not a full DC scan"
+                )
+            al = ahal & 0x0F
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_pos is None or width is None:
+        raise UnsupportedMediaError("progressive JPEG missing SOF2/SOS")
+    for c in comps:
+        if c["tq"] not in qt or c.get("td") not in huff_dc:
+            raise UnsupportedMediaError(
+                "JPEG scan component references a missing DQT/DHT table"
+            )
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    grids = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"]), dtype=np.float64)
+        for c in comps
+    ]
+    pred = [0] * len(comps)
+    br = _BitReader(payload, scan_pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                m = br.at_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise UnsupportedMediaError(
+                        "JPEG missing RSTn marker at restart boundary"
+                    )
+                br.skip_marker()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                q0 = int(qt[c["tq"]][0])
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        t = _huff_decode(br, huff_dc[c["td"]])
+                        pred[ci] += _extend(br.read_bits(t), t)
+                        # DC-only IDCT: constant dequantized_dc/8 + 128
+                        grids[ci][my * c["v"] + by, mx * c["h"] + bx] = (
+                            (pred[ci] << al) * q0
+                        ) / 8.0 + 128.0
+            mcu_count += 1
+
+    full = []
+    for c, g in zip(comps, grids):
+        p = np.repeat(
+            np.repeat(g, 8 * (vmax // c["v"]), axis=0),
+            8 * (hmax // c["h"]),
+            axis=1,
+        )
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255)[:, :, None].astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # PPM / PGM (binary)
 
@@ -703,7 +859,18 @@ def real_decode_features(payload: bytes, kind: str, dim: int = 16) -> np.ndarray
         if fmt == "ppm":
             return image_features(decode_ppm(payload), dim=dim)
         if fmt == "jpeg":
-            return image_features(decode_jpeg(payload), dim=dim)
+            try:
+                return image_features(decode_jpeg(payload), dim=dim)
+            except UnsupportedMediaError as err:
+                if "non-baseline" not in str(err):
+                    raise
+                # progressive stream: features from the real DC-scan
+                # preview (full progressive reconstruction stays behind
+                # the honest boundary; arithmetic/hierarchical re-raise
+                # from the preview decoder)
+                return image_features(
+                    decode_jpeg_dc_preview(payload), dim=dim
+                )
         if fmt == "mp4":
             # container metadata is real; FRAME decode stays behind the
             # honest boundary (needs H.264/AAC codec libraries)

@@ -223,7 +223,11 @@ def gopher_quality_filter(
     filtered-token denominators). Repetition top-counts use the
     explode → codegen'd groupBy shape (measured ~2× faster than the
     interpreted sorted-array run-length scan at sf0.1, same lesson as
-    repetition_signals' impl choice), left-joined back per doc.
+    repetition_signals' impl choice), left-joined back per doc. r5: the
+    word and bigram chains share ONE tagged explode — one scan, one
+    tokenization, one shuffle, one join (the r4 spelling ran separate
+    word/bigram chains: two extra document scans and an extra join;
+    the two gram-stat chains dominated the query's bench cost).
 
     Per-document fail flags, every threshold spelled as an INTEGER
     cross-multiplication (no ratios cross the oracle gate):
@@ -254,17 +258,28 @@ def gopher_quality_filter(
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     bigrams = _adjacent_bigrams(toks)
 
-    def _top_count(arr, out_name: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias("id"), F.explode(arr).alias("g"))
-            .groupBy("id", "g")
-            .agg(F.count("*").alias("c"))
-            .groupBy("id")
-            .agg(F.max("c").alias(out_name))
+    # one tagged gram stream: k=0 words, k=1 bigrams — a single explode/
+    # shuffle computes both per-doc top counts (per-kind max can't mix:
+    # the groupBy key includes k)
+    tagged = F.concat(
+        F.transform(
+            toks, lambda t: F.struct(F.lit(0).alias("k"), t.alias("g"))
+        ),
+        F.transform(
+            bigrams, lambda b: F.struct(F.lit(1).alias("k"), b.alias("g"))
+        ),
+    )
+    stats = (
+        df.select(F.col(id_col).alias("id"), F.explode(tagged).alias("t"))
+        .select("id", F.col("t.k").alias("k"), F.col("t.g").alias("g"))
+        .groupBy("id", "k", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max(F.when(F.col("k") == 0, F.col("c"))).alias("top_word"),
+            F.max(F.when(F.col("k") == 1, F.col("c"))).alias("top_bigram"),
         )
-
-    wstats = _top_count(toks, "top_word")
-    bstats = _top_count(bigrams, "top_bigram")
+    )
     q = df.select(
         F.col(id_col).alias("id"),
         nw.alias("nw"),
@@ -277,8 +292,7 @@ def gopher_quality_filter(
     )
     nw = F.col("nw")
     out = (
-        q.join(wstats, "id", "left")
-        .join(bstats, "id", "left")
+        q.join(stats, "id", "left")
         .select(
             F.col("id").alias(id_col),
             nw.alias("n_words"),

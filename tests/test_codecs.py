@@ -709,3 +709,211 @@ def test_mp4_sample_tables_parsed():
     moov = _mp4_box(b"moov", mvhd + _mp4_box(b"stbl", bad_stsz))
     with pytest.raises(UnsupportedMediaError, match="stsz"):
         parse_mp4_metadata(ftyp + moov)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) DC-scan preview — from-spec progressive encoder
+# built HERE (reuses this file's independent forward-DCT / bit-writer /
+# canonical-table helpers, which share no code with the decoder).
+
+
+def _encode_jpeg_progressive_dc(
+    img: np.ndarray,
+    sampling=None,
+    q: int = 4,
+    al: int = 0,
+    restart_interval: int = 0,
+    trailing_ac_scan: bool = True,
+) -> bytes:
+    """Progressive JPEG whose first scan is a full interleaved DC scan at
+    successive-approximation low bit `al` (T.81 G.1.2.1: DIFF coding over
+    the point-transformed DC values). `trailing_ac_scan` appends a second
+    (AC) scan header + junk entropy bytes to prove the preview decoder
+    stops after the DC scan."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        sh, sv = sampling or (1, 1)
+        planes, samp = [y, cb, cr], [(sh, sv), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    sub = []
+    for p, (sh, sv) in zip(planes, samp):
+        full_h, full_w = mcus_y * 8 * vmax, mcus_x * 8 * hmax
+        pp = np.pad(p, ((0, full_h - h), (0, full_w - w)), mode="edge")
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            pp = pp.reshape(full_h // fy, fy, full_w // fx, fx).mean((1, 3))
+        sub.append(pp)
+
+    # pass 1: per-MCU interleaved DC symbols (point-transformed diffs)
+    blocks = []  # (comp_idx, category, magnitude_bits)
+    pred = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            mcu_idx = my * mcus_x + mx
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                pred = [0] * len(planes)
+            for ci, (p, (sh, sv)) in enumerate(zip(sub, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        dc = _fdct_quant(p[y0 : y0 + 8, x0 : x0 + 8], q)[0]
+                        shifted = dc >> al  # spec: arithmetic shift
+                        diff = shifted - pred[ci]
+                        pred[ci] = shifted
+                        t = _category(diff)
+                        blocks.append((ci, t, _mag_bits(diff, t)))
+    tcls = lambda ci: 0 if ci == 0 else 1  # noqa: E731
+    dc_syms = {0: [], 1: []}
+    for ci, t, _ in blocks:
+        dc_syms[tcls(ci)].append(t)
+    tables = {
+        cls: _canonical_table(syms) for cls, syms in dc_syms.items() if syms
+    }
+
+    out = bytearray(b"\xff\xd8")
+    qtab = bytes([q] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + qtab
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sh, sv = samp[i]
+        sof += bytes(
+            [i + 1, (sh << 4) | sv, 0 if i == 0 else (0 if gray else 1)]
+        )
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for cls, (bits, vals, _) in sorted(tables.items()):
+        body = bytes([cls]) + bytes(bits) + vals  # class 0 = DC
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, tcls(i) << 4])  # Ta=0 (no AC table in DC scan)
+    sos += bytes([0, 0, al])  # Ss=0 Se=0 Ah=0 Al=al
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    blocks_per_mcu = sum(sh * sv for sh, sv in samp)
+    ecs = bytearray()
+    bw = _BitWriter()
+    rst = 0
+    for i in range(0, len(blocks), blocks_per_mcu):
+        mcu_idx = i // blocks_per_mcu
+        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+            bw.flush()
+            ecs += bw.out + bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+        for ci, t, mbits in blocks[i : i + blocks_per_mcu]:
+            dl, dc_code = tables[tcls(ci)][2][t]
+            bw.put(dc_code, dl)
+            if t:
+                bw.put(mbits, t)
+    bw.flush()
+    out += ecs + bw.out
+    if trailing_ac_scan:
+        # second scan (luma AC 1..5): header + junk entropy bytes the
+        # preview decoder must never read
+        sos2 = bytes([1, 1, 0, 1, 5, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos2)) + sos2
+        out += b"\x5a\x3c\x00\x7e"
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_dc_preview_gray():
+    """Preview of a block-constant gray image == the 8x8 block means
+    (each DC-only block IDCTs to its mean), within quantizer rounding."""
+    from rkmh_spark.functions.codecs import decode_jpeg_dc_preview
+
+    rng = np.random.default_rng(7)
+    means = rng.integers(20, 236, size=(3, 4))
+    img = np.repeat(np.repeat(means, 8, axis=0), 8, axis=1).astype(np.uint8)
+    prev = decode_jpeg_dc_preview(_encode_jpeg_progressive_dc(img, q=4))
+    assert prev.shape == (24, 32, 1)
+    got = prev[:, :, 0].reshape(3, 8, 4, 8).mean((1, 3))
+    assert np.abs(got - means).max() <= 1.0
+    # blocky: constant within every 8x8 block
+    assert (prev[:, :, 0].reshape(3, 8, 4, 8).std((1, 3)) == 0).all()
+
+
+def test_jpeg_progressive_dc_preview_color_420():
+    """4:2:0 color progressive: tile-constant color survives the DC
+    preview within color-transform + quantizer error; odd dimensions
+    crop back to (H, W, 3)."""
+    from rkmh_spark.functions.codecs import decode_jpeg_dc_preview
+
+    rng = np.random.default_rng(11)
+    tiles = rng.integers(30, 226, size=(2, 2, 3))
+    img = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1).astype(
+        np.uint8
+    )[:27, :29]
+    prev = decode_jpeg_dc_preview(
+        _encode_jpeg_progressive_dc(img, sampling=(2, 2), q=2)
+    )
+    assert prev.shape == (27, 29, 3)
+    for ty in range(2):
+        for tx in range(2):
+            got = prev[ty * 16 : ty * 16 + 11, tx * 16 : tx * 16 + 11].mean(
+                (0, 1)
+            )
+            assert np.abs(got - tiles[ty, tx]).max() < 3.0
+
+
+def test_jpeg_progressive_dc_preview_al_and_restarts():
+    """Successive approximation (Al=1) and restart markers both follow
+    the spec path: preview error bounded by q * 2^Al / 8 per block."""
+    from rkmh_spark.functions.codecs import decode_jpeg_dc_preview
+
+    rng = np.random.default_rng(13)
+    means = rng.integers(20, 236, size=(2, 3))
+    img = np.repeat(np.repeat(means, 8, axis=0), 8, axis=1).astype(np.uint8)
+    for al, ri in ((1, 0), (0, 1), (1, 2)):
+        prev = decode_jpeg_dc_preview(
+            _encode_jpeg_progressive_dc(img, q=4, al=al, restart_interval=ri)
+        )
+        got = prev[:, :, 0].reshape(2, 8, 3, 8).mean((1, 3))
+        assert np.abs(got - means).max() <= 1.0 + (4 * (1 << al)) / 8.0
+
+
+def test_jpeg_progressive_feature_dispatch():
+    """real_decode_features no longer raises on progressive JPEG: it
+    features the DC preview (dims/mean are the true image's)."""
+    img = np.full((16, 24), 99, dtype=np.uint8)
+    feats = real_decode_features(
+        _encode_jpeg_progressive_dc(img, q=2), kind="image"
+    )
+    assert feats[0] == 16.0 and feats[1] == 24.0 and feats[2] == 1.0
+    assert abs(feats[3] - 99 / 255) < 0.02
+
+
+def test_jpeg_progressive_non_dc_first_scan_raises():
+    """A progressive stream whose FIRST scan is not a full DC scan stays
+    behind the honest boundary (so do baseline/arithmetic SOFs)."""
+    from rkmh_spark.functions.codecs import decode_jpeg_dc_preview
+
+    img = np.full((8, 8), 50, dtype=np.uint8)
+    good = _encode_jpeg_progressive_dc(img, q=4)
+    # patch the first SOS's Ss byte (scan header: ns=1 → Ss at +4+2*ns-3
+    # from marker) — find marker, then offset: len 2 + [ns, c, tdta, Ss]
+    i = good.index(b"\xff\xda")
+    bad = bytearray(good)
+    bad[i + 7] = 1  # marker(2)+len(2)+ns(1)+[c,tdta](2) → Ss=1: AC-first
+    with pytest.raises(UnsupportedMediaError, match="not a full DC scan"):
+        decode_jpeg_dc_preview(bytes(bad))
+    # baseline stream through the preview API → clear redirect error
+    with pytest.raises(UnsupportedMediaError, match="baseline"):
+        decode_jpeg_dc_preview(_encode_jpeg(img, q=4))
