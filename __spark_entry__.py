@@ -807,6 +807,110 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(_url_pages(spark, sf_dir), ts_col="doc_id")
 
 
+# PII planted deterministically per doc_id % 4 (the corpus text itself is
+# digit/@/+-free, so the construction is the ONLY PII present and the
+# oracle derives counts + redacted text from the construction, never by
+# re-running regexes in another dialect)
+_PII_CASE = """CASE doc_id % 4
+    WHEN 1 THEN text || ' contact user' || CAST(doc_id AS STRING)
+        || '@mail.example.com today'
+    WHEN 2 THEN text || ' call +1-555-'
+        || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' now'
+    WHEN 3 THEN text || ' server 10.' || CAST(doc_id % 200 AS STRING)
+        || '.3.' || CAST(doc_id % 250 AS STRING) || ' online'
+    ELSE text
+END"""
+
+
+# multi-host url corpus for per-domain aggregation: g = doc_id DIV 4
+# makes consecutive ids collide on a canonical page; class 2 is a
+# spelling variant of class 0 (case + default port)
+def _domain_variants_sql(intdiv: str) -> str:
+    g = f"CAST(doc_id {intdiv} 4 AS STRING)"
+    return f"""CASE doc_id % 5
+        WHEN 0 THEN 'https://news.example.com/a/' || {g}
+        WHEN 1 THEN 'https://blog.example.org/p/' || {g} || '?utm_source=x'
+        WHEN 2 THEN 'HTTPS://NEWS.EXAMPLE.COM:443/a/' || {g}
+        WHEN 3 THEN 'https://cdn.example.net/lib.js'
+        ELSE 'not a url ' || {g}
+    END"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl stats (functions/urls.py::domain_stats): page
+    count, distinct canonical pages, id span. One hash-agg shuffle."""
+    from rkmh_spark.functions.urls import domain_stats
+
+    pages = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"({_domain_variants_sql('DIV')}) AS url"
+    )
+    return domain_stats(pages)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): docs with
+    doc_id % 97 == 0 act as the 'benchmark suite'; every doc reports its
+    distinct word-5-gram count, benchmark-collision count, and the
+    any-collision contaminated flag. Bench side broadcast; corpus side
+    aggregates on its natural key. Non-vacuous: the benchmark docs
+    themselves are 100%-contaminated by construction."""
+    from rkmh_spark.operators.decontaminate import flag_contaminated
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return flag_contaminated(docs, bench, n=5)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (operators/sampling.py):
+    keep iff md5(doc_id)[:8] < stratum threshold — content-keyed, so the
+    keep-set is partitioning/retry-independent and the oracle replays
+    the exact decision. Map-only (filter pushes to the scan)."""
+    from rkmh_spark.operators.sampling import stratified_sample
+
+    rates = {"en": 0.5, "de": 0.25, "es": 1.0, "fr": 0.0}
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        rates,
+        default_rate=0.75,  # zh
+    )
+
+
+def q_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix epoch weighting (operators/sampling.py): replicate
+    each doc floor(w)+Bernoulli(frac(w)) times per language, copy index
+    attached. Map-only expansion (posexplode, no shuffle)."""
+    from rkmh_spark.operators.sampling import weighted_mixture
+
+    w = {"en": 2.0, "de": 0.5, "es": 1.25, "zh": 0.0}
+    return weighted_mixture(
+        _docs(spark, sf_dir).select("doc_id", "lang"), w
+    )  # fr: default weight 1.0
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (functions/pii.py): emails, phones, IPv4 —
+    one codegen'd projection, zero shuffle, zero Python."""
+    from rkmh_spark.functions.pii import (
+        pii_email_count,
+        pii_ipv4_count,
+        pii_phone_count,
+        redact_pii,
+    )
+
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"({_PII_CASE}) AS raw")
+        .select(
+            "doc_id",
+            pii_email_count("raw").alias("n_emails"),
+            pii_phone_count("raw").alias("n_phones"),
+            pii_ipv4_count("raw").alias("n_ipv4"),
+            redact_pii("raw").alias("redacted"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -856,6 +960,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "url_dedup": q_url_dedup,
         "html_text": q_html_text,
+        "pii_scrub": q_pii_scrub,
+        "domain_stats": q_domain_stats,
+        "stratified_sample": q_stratified_sample,
+        "weighted_mixture": q_weighted_mixture,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1503,5 +1612,106 @@ def oracle_sql() -> dict[str, str]:
                          || 'after ' || text
                    END AS text
             FROM documents
+        """,
+        # counts + redacted text derived from the CONSTRUCTION (which
+        # m-branch planted which PII class), never by re-running the
+        # regexes in DuckDB's dialect
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS INTEGER) AS n_emails,
+                   CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS INTEGER) AS n_phones,
+                   CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INTEGER) AS n_ipv4,
+                   CASE doc_id % 4
+                     WHEN 1 THEN text || ' contact [EMAIL] today'
+                     WHEN 2 THEN text || ' call [PHONE] now'
+                     WHEN 3 THEN text || ' server [IP] online'
+                     ELSE text
+                   END AS redacted
+            FROM documents
+        """,
+        # host and canonical url derived from the CONSTRUCTION (class 0/2
+        # share a host; class 2's canonical == class 0's for the same g;
+        # class 4 parses to NULL host); only the final aggregation runs
+        # in DuckDB
+        "domain_stats": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       CASE doc_id % 5
+                         WHEN 0 THEN 'news.example.com'
+                         WHEN 1 THEN 'blog.example.org'
+                         WHEN 2 THEN 'news.example.com'
+                         WHEN 3 THEN 'cdn.example.net'
+                         ELSE NULL
+                       END AS host,
+                       CASE doc_id % 5
+                         WHEN 0 THEN 'https://news.example.com/a/' || CAST(doc_id // 4 AS STRING)
+                         WHEN 1 THEN 'https://blog.example.org/p/' || CAST(doc_id // 4 AS STRING)
+                         WHEN 2 THEN 'https://news.example.com/a/' || CAST(doc_id // 4 AS STRING)
+                         WHEN 3 THEN 'https://cdn.example.net/lib.js'
+                         ELSE 'not a url ' || CAST(doc_id // 4 AS STRING)
+                       END AS canonical_url
+                FROM documents
+            )
+            SELECT host, count(*) AS n_pages,
+                   count(DISTINCT canonical_url) AS n_unique_pages,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY host
+        """,
+        # the md5-hex threshold trick is engine-portable by design:
+        # md5 of the same bytes is identical everywhere, and 8-char
+        # lowercase-hex string comparison == numeric comparison.
+        # thresholds are frac*2^32 in hex: 0.5→80000000, 0.25→40000000,
+        # 0.75→c0000000
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CASE lang
+              WHEN 'en' THEN substr(md5(CAST(doc_id AS STRING)), 1, 8) < '80000000'
+              WHEN 'de' THEN substr(md5(CAST(doc_id AS STRING)), 1, 8) < '40000000'
+              WHEN 'es' THEN TRUE
+              WHEN 'fr' THEN FALSE
+              ELSE substr(md5(CAST(doc_id AS STRING)), 1, 8) < 'c0000000'
+            END
+        """,
+        "weighted_mixture": """
+            WITH f AS (
+                SELECT doc_id, lang,
+                  CASE lang
+                    WHEN 'en' THEN 2
+                    WHEN 'de' THEN CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 8) < '80000000' THEN 1 ELSE 0 END
+                    WHEN 'es' THEN 1 + CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 8) < '40000000' THEN 1 ELSE 0 END
+                    WHEN 'zh' THEN 0
+                    ELSE 1
+                  END AS n
+                FROM documents
+            ),
+            x AS (SELECT doc_id, lang, unnest(range(n)) AS copy FROM f)
+            SELECT doc_id, lang, CAST(copy AS INTEGER) AS copy FROM x
+        """,
+        # independent n-gram spelling: DuckDB list_transform over ranges
+        # + 1-based inclusive slices vs Spark's zip_with slice chain
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_transform(range(1, len(t) - 5 + 2),
+                                   i -> array_to_string(t[i:i+4], ' '))
+                )) AS g
+                FROM toks
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (
+                SELECT d.doc_id, count(*) AS n_grams, count(b.g) AS n_hit
+                FROM grams d LEFT JOIN bench b ON d.g = b.g
+                GROUP BY d.doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(h.n_grams, 0) AS n_grams,
+                   COALESCE(h.n_hit, 0) AS n_hit,
+                   COALESCE(h.n_hit, 0) >= 1 AS contaminated
+            FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
         """,
     }

@@ -86,3 +86,35 @@ def url_dedup(
         .where(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased registrable host (port stripped); NULL for strings
+    that don't parse as scheme://host urls. Pure JVM regexp — feeds
+    per-domain aggregation, blocklists, and crawl-politeness stats."""
+    c = F.col(url) if isinstance(url, str) else url
+    hostport = F.lower(F.regexp_extract(c, _HOST_RE, 1))
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def domain_stats(
+    pages: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-host crawl stats: page count, distinct canonical pages, and
+    the id span (first/last fetch). One hash-aggregate shuffle on the
+    host key with map-side partials; count_distinct over canonical urls
+    is the only state that grows with domain size — at web scale swap it
+    for approx_count_distinct (HLL) with one keyword, same plan shape.
+    Non-url rows aggregate under the NULL host (kept: the volume of
+    unparseable 'urls' is itself a corpus-quality signal)."""
+    return (
+        pages.withColumn("host", url_host(url_col))
+        .withColumn("canonical_url", canonical_url(url_col))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.count_distinct("canonical_url").alias("n_unique_pages"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )

@@ -122,3 +122,44 @@ def test_dedup_pages_url_pre_pass(spark):
         == clusters["http://mirror.example/x"]
     )
     assert clusters["http://b.example/y"] != clusters["http://a.example:80/x"]
+
+
+def test_url_host_extraction(spark):
+    from rkmh_spark.functions.urls import url_host
+
+    rows = [
+        (0, "https://News.Example.COM:443/a/1"),
+        (1, "http://sub.blog.org/p?q=1"),
+        (2, "not a url at all"),
+        (3, "ftp://Files.example.net:21/x"),
+        (4, "https://example.com"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: r["h"] for r in df.select("id", url_host("url").alias("h")).collect()}
+    assert got == {
+        0: "news.example.com",
+        1: "sub.blog.org",
+        2: None,
+        3: "files.example.net",
+        4: "example.com",
+    }
+
+
+def test_domain_stats_aggregates_per_host(spark):
+    from rkmh_spark.functions.urls import domain_stats
+
+    rows = [
+        (0, "https://a.example/x"),
+        (1, "https://A.EXAMPLE:443/x"),      # same canonical as row 0
+        (2, "https://a.example/y"),
+        (3, "http://b.example/z?utm_source=f"),
+        (4, "garbage"),
+        (5, "more garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["host"]: r for r in domain_stats(df).collect()}
+    a = got["a.example"]
+    assert (a["n_pages"], a["n_unique_pages"], a["first_doc"], a["last_doc"]) == (3, 2, 0, 2)
+    assert got["b.example"]["n_pages"] == 1
+    nul = got[None]
+    assert (nul["n_pages"], nul["n_unique_pages"]) == (2, 2)
