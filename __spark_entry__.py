@@ -847,6 +847,28 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(pages)
 
 
+def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights (operators/tfidf.py) for informative tokens
+    (max_df=390 drops near-universal boilerplate tokens — the cut that
+    is also the join-skew guard). n_docs from the parquet footer, not a
+    count job."""
+    import pyarrow.parquet as pq
+
+    from rkmh_spark.operators.tfidf import tfidf
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return tfidf(_docs(spark, sf_dir), max_df=390, n_docs=n)
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy (operators/lm_score.py, CCNet-family
+    quality signal): self-scored bits-per-token with add-1 smoothing.
+    Zipf-skew-proof two-path token join (hot broadcast / rare shuffle)."""
+    from rkmh_spark.operators.lm_score import lm_score
+
+    return lm_score(_docs(spark, sf_dir), hot_df=2)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): docs with
     doc_id % 97 == 0 act as the 'benchmark suite'; every doc reports its
@@ -965,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "weighted_mixture": q_weighted_mixture,
         "decontaminate": q_decontaminate,
+        "lm_score": q_lm_score,
+        "tfidf_scores": q_tfidf_scores,
     }
 
 
@@ -1713,5 +1737,51 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hit, 0) AS n_hit,
                    COALESCE(h.n_hit, 0) >= 1 AS contaminated
             FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        """,
+        # add-1 smoothed unigram cross-entropy, self-trained; identical
+        # formula, independent relational spelling (no hot/tail split —
+        # that's a physical optimization the oracle must not need)
+        "lm_score": """
+            WITH tk AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                FROM documents
+            ),
+            vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+            tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS T,
+                       CAST(count(*) AS DOUBLE) AS V
+                FROM vocab
+            ),
+            scored AS (
+                SELECT t.doc_id, count(*) AS n_tokens,
+                       -sum(log2((v.c + 1.0) / (tot.T + 1.0 * (tot.V + 1))))
+                           / count(*) AS bpt
+                FROM tk t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   round(s.bpt, 4) AS bits_per_token
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "tfidf_scores": """
+            WITH tk AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM tk GROUP BY doc_id, token
+            ),
+            dfq AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY token
+                HAVING count(*) <= 390
+            ),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+            SELECT t.doc_id, t.token, t.tf, d.df,
+                   round(t.tf * ln(n.nd / d.df), 4) AS tfidf
+            FROM tf t JOIN dfq d ON t.token = d.token CROSS JOIN n
         """,
     }
