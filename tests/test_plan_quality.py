@@ -32,6 +32,19 @@ SCALE_PATH_QUERIES = [
     "repetition_scores",   # r3: Gopher signals — groupBys only
     "embedding_ivf_topk",  # r4: sharded centroid probe join, no BNL
     "quality_filter",      # r4: Gopher composite — projections + groupBys
+    # r5 additions. lm_score is exempt: its single totals row rides a
+    # deliberate 1-row broadcast cross join (free at any scale — same
+    # sanction class as two_tier_classify's resident panel); its
+    # token joins are hash joins and covered by test_lm_score.py's gate.
+    "canonical_urls",      # r5: pure projection
+    "url_dedup",           # r5: one window shuffle on the canonical key
+    "html_text",           # r5: pure projection
+    "pii_scrub",           # r5: pure projection
+    "domain_stats",        # r5: one hash-agg on host
+    "stratified_sample",   # r5: map-only filter
+    "weighted_mixture",    # r5: map-only posexplode
+    "decontaminate",       # r5: broadcast bench join + doc-id agg
+    "tfidf_scores",        # r5: max_df-bounded token join
 ]
 
 
