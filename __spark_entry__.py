@@ -847,6 +847,44 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(pages)
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per-language doc counts and exact length
+    quantiles (median/p90, type-7 linear interpolation — the spelling
+    both engines implement identically on integer inputs) + mean. One
+    groupBy; percentiles are exact here by design — at web scale the
+    documented swap is approx_percentile with a pinned accuracy."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+    )
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/delta.py): old = every doc at
+    /p/doc_id; new drops doc_id%7==0 (removed), edits text at
+    doc_id%5==0 (changed), and adds /new/doc_id for doc_id%11==0.
+    One full-outer hash join on the canonical key; statuses derived by
+    the oracle from the construction."""
+    from rkmh_spark.operators.delta import crawl_delta
+
+    d = _docs(spark, sf_dir)
+    old = d.selectExpr(
+        "'https://ex.com/p/' || CAST(doc_id AS STRING) AS url", "text"
+    )
+    new = d.where("doc_id % 7 != 0").selectExpr(
+        "'https://ex.com/p/' || CAST(doc_id AS STRING) AS url",
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text",
+    ).unionByName(
+        d.where("doc_id % 11 = 0").selectExpr(
+            "'https://ex.com/new/' || CAST(doc_id AS STRING) AS url", "text"
+        )
+    )
+    return crawl_delta(old, new)
+
+
 def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF weights (operators/tfidf.py) for informative tokens
     (max_df=390 drops near-universal boilerplate tokens — the cut that
@@ -989,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
         "tfidf_scores": q_tfidf_scores,
+        "crawl_delta": q_crawl_delta,
+        "corpus_profile": q_corpus_profile,
     }
 
 
@@ -1783,5 +1823,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.token, t.tf, d.df,
                    round(t.tf * ln(n.nd / d.df), 4) AS tfidf
             FROM tf t JOIN dfq d ON t.token = d.token CROSS JOIN n
+        """,
+        # every status derived from the CONSTRUCTION (%7 removed,
+        # %5 changed, %11 extra urls added) — no diff logic re-run;
+        # md5 is engine-portable so hashes compare exactly
+        "crawl_delta": """
+            SELECT 'https://ex.com/p/' || CAST(doc_id AS STRING) AS canonical_url,
+                   CASE WHEN doc_id % 7 = 0 THEN 'removed'
+                        WHEN doc_id % 5 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   md5(text) AS old_hash,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        WHEN doc_id % 5 = 0 THEN md5(text || ' v2')
+                        ELSE md5(text) END AS new_hash
+            FROM documents
+            UNION ALL
+            SELECT 'https://ex.com/new/' || CAST(doc_id AS STRING),
+                   'added', NULL, md5(text)
+            FROM documents WHERE doc_id % 11 = 0
+        """,
+        "corpus_profile": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+                   round(avg(n_chars), 4) AS mean_chars
+            FROM documents GROUP BY lang
         """,
     }
