@@ -1729,11 +1729,11 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE CASE lang
-              WHEN 'en' THEN substr(md5(CAST(doc_id AS STRING)), 1, 8) < '80000000'
-              WHEN 'de' THEN substr(md5(CAST(doc_id AS STRING)), 1, 8) < '40000000'
+              WHEN 'en' THEN substr(md5('sample:' || CAST(doc_id AS STRING)), 1, 8) < '80000000'
+              WHEN 'de' THEN substr(md5('sample:' || CAST(doc_id AS STRING)), 1, 8) < '40000000'
               WHEN 'es' THEN TRUE
               WHEN 'fr' THEN FALSE
-              ELSE substr(md5(CAST(doc_id AS STRING)), 1, 8) < 'c0000000'
+              ELSE substr(md5('sample:' || CAST(doc_id AS STRING)), 1, 8) < 'c0000000'
             END
         """,
         "weighted_mixture": """
@@ -1741,8 +1741,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang,
                   CASE lang
                     WHEN 'en' THEN 2
-                    WHEN 'de' THEN CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 8) < '80000000' THEN 1 ELSE 0 END
-                    WHEN 'es' THEN 1 + CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 8) < '40000000' THEN 1 ELSE 0 END
+                    WHEN 'de' THEN CASE WHEN substr(md5('mix:' || CAST(doc_id AS STRING)), 1, 8) < '80000000' THEN 1 ELSE 0 END
+                    WHEN 'es' THEN 1 + CASE WHEN substr(md5('mix:' || CAST(doc_id AS STRING)), 1, 8) < '40000000' THEN 1 ELSE 0 END
                     WHEN 'zh' THEN 0
                     ELSE 1
                   END AS n
@@ -1788,16 +1788,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM tk GROUP BY doc_id, tok
+            ),
             tot AS (
                 SELECT CAST(sum(c) AS DOUBLE) AS T,
                        CAST(count(*) AS DOUBLE) AS V
                 FROM vocab
             ),
             scored AS (
-                SELECT t.doc_id, count(*) AS n_tokens,
-                       -sum(log2((v.c + 1.0) / (tot.T + 1.0 * (tot.V + 1))))
-                           / count(*) AS bpt
-                FROM tk t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+                SELECT t.doc_id, sum(t.tf) AS n_tokens,
+                       -sum(t.tf * log2((v.c + 1.0) / (tot.T + 1.0 * (tot.V + 1))))
+                           / sum(t.tf) AS bpt
+                FROM tf t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
                 GROUP BY t.doc_id
             )
             SELECT d.doc_id,

@@ -729,7 +729,11 @@ def parse_mp4_metadata(payload: bytes) -> dict:
                     meta["codecs"].append(fourcc.decode("latin1"))
             elif btype == b"stsz":
                 # verflags(4) + sample_size(4) + sample_count(4)
-                # [+ per-sample u32 sizes when sample_size == 0]
+                # [+ per-sample u32 sizes when sample_size == 0].
+                # Header fields must fit INSIDE the box — unpack_from
+                # would silently read the sibling box's bytes otherwise
+                if be - bs < 12:
+                    raise UnsupportedMediaError("MP4 stsz header truncated")
                 sample_size, count = struct.unpack_from(
                     ">II", payload, bs + 4
                 )
@@ -743,6 +747,10 @@ def parse_mp4_metadata(payload: bytes) -> dict:
                         np.frombuffer(payload, ">u4", count, bs + 12).sum()
                     )
             elif btype in (b"stco", b"co64"):
+                if be - bs < 8:
+                    raise UnsupportedMediaError(
+                        f"MP4 {btype.decode('latin1')} header truncated"
+                    )
                 (n,) = struct.unpack_from(">I", payload, bs + 4)
                 width_b = 4 if btype == b"stco" else 8
                 if bs + 8 + width_b * n > be:

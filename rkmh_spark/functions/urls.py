@@ -88,12 +88,15 @@ def url_dedup(
     )
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased registrable host (port stripped); NULL for strings
-    that don't parse as scheme://host urls. Pure JVM regexp — feeds
-    per-domain aggregation, blocklists, and crawl-politeness stats."""
+    """Lowercased registrable host (userinfo and port stripped); NULL
+    for strings that don't parse as scheme://host urls. Pure JVM
+    regexp — feeds per-domain aggregation, blocklists, and
+    crawl-politeness stats. The authority is [userinfo@]host[:port]
+    (userinfo may not contain a raw '@'), so one optional-group regexp
+    peels both."""
     c = F.col(url) if isinstance(url, str) else url
-    hostport = F.lower(F.regexp_extract(c, _HOST_RE, 1))
-    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    authority = F.lower(F.regexp_extract(c, _HOST_RE, 1))
+    host = F.regexp_extract(authority, r"^(?:[^@]*@)?([^:@]*)", 1)
     return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
 
 

@@ -39,19 +39,25 @@ def crawl_delta(
     else:
         raise ValueError(f"unknown content_hash {content_hash!r}")
 
-    def side(df: DataFrame, out: str) -> DataFrame:
+    def side(df: DataFrame, out: str, flag: str) -> DataFrame:
         one = url_dedup(df, url_col=url_col, ts_col=ts_col or url_col)
+        # presence travels as its own flag: a NULL text column hashes to
+        # NULL, and classifying on hash nullness would misreport a
+        # present-but-textless page as absent (review r5)
         return one.select(
-            "canonical_url", h(text_col).alias(out)
+            "canonical_url", h(text_col).alias(out), F.lit(True).alias(flag)
         )
 
-    o = side(old, "old_hash")
-    n = side(new, "new_hash")
+    o = side(old, "old_hash", "_in_old")
+    n = side(new, "new_hash", "_in_new")
     joined = o.join(n, on="canonical_url", how="full_outer")
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_hash").eqNullSafe(F.col("new_hash")),
+            F.lit("unchanged"),
+        )
         .otherwise(F.lit("changed"))
     )
     return joined.select(

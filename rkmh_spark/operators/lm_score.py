@@ -34,6 +34,7 @@ def lm_score(
     id_col: str = "doc_id",
     hot_df: int = 2,
     round_digits: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document (n_tokens, bits_per_token) under an add-alpha
     unigram LM trained on ``ref`` (default: ``docs`` itself —
@@ -41,7 +42,16 @@ def lm_score(
     (0, NULL). ``hot_df`` is the broadcast cutoff: reference tokens with
     count >= hot_df ride the broadcast path (set it so the hot table
     stays a few MB — at web scale a few thousand head tokens cover
-    ~90% of occurrences)."""
+    ~90% of occurrences).
+
+    The doc side first compresses to (doc, token, tf) — one shuffle on
+    the uniform composite key — so log2 evaluates once per DISTINCT
+    token per doc, and the hot-joined table is eagerly checkpointed
+    before it branches into the resolved/unresolved paths (review r5:
+    without it the scan+explode+groupBy lineage evaluates once per
+    branch — the _sharded_probe_join recompute class). Set
+    ``materialize=False`` to trade that disk write back for the double
+    compute when the input scan is cheap."""
     from rkmh_spark.functions.text import tokens
 
     if ref is None:
@@ -58,39 +68,44 @@ def lm_score(
         )
     )
 
-    doc_toks = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    doc_tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
     )
     hot = F.broadcast(
         vocab.where(F.col("c") >= hot_df).withColumnRenamed("c", "c_hot")
     )
     tail = vocab.where(F.col("c") < hot_df).withColumnRenamed("c", "c_tail")
 
-    with_hot = doc_toks.join(hot, on="tok", how="left")
+    with_hot = doc_tf.join(hot, on="tok", how="left")
+    if materialize:
+        with_hot = with_hot.localCheckpoint(eager=True)
     resolved = with_hot.where(F.col("c_hot").isNotNull()).select(
-        id_col, F.col("c_hot").alias("c")
+        id_col, "tf", F.col("c_hot").alias("c")
     )
     # tail path: only rows the hot table missed — rare tokens, no skew
     unresolved = (
         with_hot.where(F.col("c_hot").isNull())
         .drop("c_hot")
         .join(tail, on="tok", how="left")
-        .select(id_col, F.coalesce("c_tail", F.lit(0)).alias("c"))
+        .select(id_col, "tf", F.coalesce("c_tail", F.lit(0)).alias("c"))
     )
     scored = (
         resolved.unionByName(unresolved)
         .crossJoin(totals)
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.sum("tf").alias("n_tokens"),
             (
                 -F.sum(
-                    F.log2(
+                    F.col("tf")
+                    * F.log2(
                         (F.col("c") + F.lit(alpha))
                         / (F.col("T") + F.lit(alpha) * (F.col("V") + 1))
                     )
                 )
-                / F.count("*")
+                / F.sum("tf")
             ).alias("_bpt"),
         )
     )

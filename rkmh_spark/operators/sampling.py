@@ -31,8 +31,15 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _u_hex(key: Column) -> Column:
-    return F.substring(F.md5(key.cast("string")), 1, 8)
+def _u_hex(key: Column, salt: str) -> Column:
+    """Per-operator salt: composed stages over the same key column must
+    draw INDEPENDENT uniforms — unsalted, a mixture stage downstream of
+    a sampling stage would hand its Bernoulli copy to exactly the rows
+    the sampler kept (u already < threshold), realizing weight
+    floor(w)+1 instead of w (review r5)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8
+    )
 
 
 def _thresh_hex(p: float) -> str:
@@ -47,12 +54,14 @@ def stratified_sample(
     strata_col: str = "lang",
     key_col: str = "doc_id",
     default_rate: float = 0.0,
+    salt: str = "sample",
 ) -> DataFrame:
     """Keep each row with its stratum's probability, decided by the
     row's own key hash. Strata absent from ``rates`` use
     ``default_rate``. Pure projection + filter: pushes down to the scan,
-    no shuffle, no rand()."""
-    u = _u_hex(F.col(key_col))
+    no shuffle, no rand(). Give repeated/composed stages distinct
+    ``salt`` values to decorrelate their decisions."""
+    u = _u_hex(F.col(key_col), salt)
 
     def _keep(p: float) -> Column:
         if p >= 1.0:
@@ -74,12 +83,15 @@ def weighted_mixture(
     key_col: str = "doc_id",
     default_weight: float = 1.0,
     copy_col: str = "copy",
+    salt: str = "mix",
 ) -> DataFrame:
     """Replicate each row ``floor(w) + (u < frac(w))`` times for its
     stratum weight w ≥ 0 (w<1 subsamples, w>1 upsamples; expectation is
-    exactly w per row). Adds ``copy_col`` = 0..n-1 so downstream shuffles
-    and dedup keys can distinguish copies. Map-only expansion."""
-    u = _u_hex(F.col(key_col))
+    exactly w per row — the default salt differs from
+    stratified_sample's, so a sample→mix pipeline draws independent
+    uniforms). Adds ``copy_col`` = 0..n-1 so downstream shuffles and
+    dedup keys can distinguish copies. Map-only expansion."""
+    u = _u_hex(F.col(key_col), salt)
 
     def _n(w: float) -> Column:
         base = int(math.floor(w))

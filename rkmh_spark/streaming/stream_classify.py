@@ -88,13 +88,48 @@ def _write_batch(
     w.parquet(f"{root.rstrip('/')}/batch={batch_id}")
 
 
-def _read_all(spark: SparkSession, root: str) -> DataFrame | None:
+_COMPACT_MARKER = "_compacted_through-"
+
+
+def _compaction_watermark(fs, jvm, root: str) -> int | None:
+    """Highest batch id the compacted partition covers, recorded as an
+    empty marker file ``_compacted_through-<W>`` (name-encoded: no
+    content IO through py4j). The name must contain no "=": Spark's
+    hidden-file filter skips "_"-prefixed paths ONLY when the name has
+    no "=" (hive partition dirs must survive the filter), so an
+    "="-spelled marker would be read as a parquet data file. None when
+    no marker exists (legacy state, or a crash between the compacted
+    write and the marker write)."""
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    best = None
+    for s in fs.listStatus(path):
+        name = s.getPath().getName()
+        if name.startswith(_COMPACT_MARKER):
+            w = int(name[len(_COMPACT_MARKER):])
+            best = w if best is None else max(best, w)
+    return best
+
+
+def _read_all(
+    spark: SparkSession, root: str, latest_per: str | None = None
+) -> DataFrame | None:
     """Read every batch partition under ``root``; None if nothing written.
 
     Probes through Hadoop's FileSystem API, not os.listdir — the sink
     dirs live wherever the Spark conf points (HDFS/S3/local); a driver-
     local listdir silently returned None for remote roots, making every
-    micro-batch treat all stored state as absent (ADVICE r2)."""
+    micro-batch treat all stored state as absent (ADVICE r2).
+
+    ``latest_per``: versioned newest-wins read for keyed state (the
+    assignments table passes "url"). Each row's version is its numeric
+    batch id; the compacted partition carries the watermark W it was
+    built through (marker file), so a url re-assigned by a batch AFTER
+    compaction beats its compacted row (review r5 — the plain
+    compacted-preference read returned the STALE pre-compaction cluster
+    id for recurring urls), while crash-window stale batches (id <= W)
+    are dropped entirely. Without a marker (legacy / crashed before the
+    marker write), compacted outranks everything per url — the old
+    stale-but-consistent degradation."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(root)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -120,9 +155,34 @@ def _read_all(spark: SparkSession, root: str) -> DataFrame | None:
     if not has_data:
         return None
     df = spark.read.option("basePath", root).parquet(root)
-    if any(
+    has_comp = any(
         s.getPath().getName() == "batch=compacted" for s in fs.listStatus(path)
-    ):
+    )
+    from pyspark.sql import Window, functions as F
+
+    if latest_per is not None:
+        wmark = _compaction_watermark(fs, jvm, root) if has_comp else None
+        if has_comp and wmark is None:
+            # legacy/crash-window: compacted authoritative per key
+            comp_ver = F.lit(2**62)
+        else:
+            comp_ver = F.lit(wmark if wmark is not None else -1)
+        # partition-type inference types `batch` as int when every dir is
+        # numeric (no compacted yet) — compare through an explicit string
+        # cast so ANSI mode never tries to cast "compacted" to int
+        b = F.col("batch").cast("string")
+        ver = F.when(b == "compacted", comp_ver).otherwise(b.cast("long"))
+        out = df.withColumn("_ver", ver)
+        if wmark is not None:
+            # crash-window stale batches (fully covered by compacted)
+            out = out.where((b == "compacted") | (F.col("_ver") > wmark))
+        w = Window.partitionBy(latest_per).orderBy(F.desc("_ver"))
+        return (
+            out.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .drop("_rk", "_ver", "batch")
+        )
+    if has_comp:
         # crash-window consistency (ADVICE r4): compact_assignments writes
         # batch=compacted BEFORE deleting the stale batch=* partitions. If
         # the process dies in between, a plain union returns two rows per
@@ -131,8 +191,6 @@ def _read_all(spark: SparkSession, root: str) -> DataFrame | None:
         # full state); other partitions only contribute urls compacted has
         # never seen (batches appended AFTER the compaction). This
         # degrades the crash window to stale-but-consistent.
-        from pyspark.sql import functions as F
-
         comp = df.where(F.col("batch") == "compacted").drop("batch")
         rest = df.where(F.col("batch") != "compacted").drop("batch")
         return rest.join(
@@ -314,7 +372,7 @@ def process_incremental_batch(
     # smallest such id (assignments are append-only; a later bridge
     # between two old clusters is recorded through the new pages only —
     # documented incremental-CC tradeoff).
-    prev = _read_all(spark, assignments_dir)
+    prev = _read_all(spark, assignments_dir, latest_per="url")
     if prev is not None:
         inherit = (
             labels.join(prev.withColumnRenamed("url", "node"), "node", "left")
@@ -386,17 +444,42 @@ def compact_assignments(
             driver_threshold=cfg.cc_driver_threshold,
         )
         assign = (
-            sigs.select("url")
+            sigs.select("url").distinct()
             .join(labels.withColumnRenamed("node", "url"), "url", "left")
             .select("url", F.coalesce("label", "url").alias("cluster_id"))
             .localCheckpoint(eager=True)  # materialize before any delete
         )
-    _write_batch(assign, assignments_dir, "compacted")
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(assignments_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    # watermark = highest numeric batch id the compaction covers; rows
+    # from batches <= W are superseded wholesale, rows written by LATER
+    # batches must outrank the compacted row for their url (review r5)
+    covered = [
+        int(s.getPath().getName()[len("batch="):])
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("batch=")
+        and s.getPath().getName() != "batch=compacted"
+    ]
+    wmark = max(covered) if covered else -1
+    _write_batch(assign, assignments_dir, "compacted")
+    # marker AFTER the compacted write (a crash in between degrades to
+    # the legacy compacted-preferred read), BEFORE the deletes
     for s in fs.listStatus(root):
         name = s.getPath().getName()
-        if name.startswith("batch=") and name != "batch=compacted":
+        if name.startswith(_COMPACT_MARKER):
+            fs.delete(s.getPath(), False)
+    fs.createNewFile(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{assignments_dir.rstrip('/')}/{_COMPACT_MARKER}{wmark}"
+        )
+    )
+    for s in fs.listStatus(root):
+        name = s.getPath().getName()
+        if (
+            name.startswith("batch=")
+            and name != "batch=compacted"
+            and int(name[len("batch="):]) <= wmark
+        ):
             fs.delete(s.getPath(), True)
     return assign

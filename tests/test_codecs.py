@@ -917,3 +917,25 @@ def test_jpeg_progressive_non_dc_first_scan_raises():
     # baseline stream through the preview API → clear redirect error
     with pytest.raises(UnsupportedMediaError, match="baseline"):
         decode_jpeg_dc_preview(_encode_jpeg(img, q=4))
+
+
+def test_mp4_short_sample_table_headers_hit_honest_boundary():
+    """stsz/stco whose HEADER fields don't fit inside the box must not
+    silently read the sibling box's bytes as counts (review r5)."""
+    from rkmh_spark.functions.codecs import parse_mp4_metadata
+
+    ftyp = _mp4_box(b"ftyp", b"mp42\x00\x00\x00\x00mp42")
+    mvhd = _mp4_box(
+        b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, 1000, 5000) + bytes(80)
+    )
+    for short_box in (
+        _mp4_box(b"stsz", bytes(6)),   # < 12-byte header
+        _mp4_box(b"stco", bytes(5)),   # < 8-byte header
+        _mp4_box(b"co64", bytes(4)),
+    ):
+        # a sibling box follows — without the bound check its bytes
+        # would be misread as the table header
+        sib = _mp4_box(b"free", bytes(16))
+        moov = _mp4_box(b"moov", mvhd + _mp4_box(b"stbl", short_box + sib))
+        with pytest.raises(UnsupportedMediaError, match="truncated"):
+            parse_mp4_metadata(ftyp + moov)

@@ -90,3 +90,27 @@ def test_crawl_delta_plan_single_join_no_quadratic(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_crawl_delta_null_text_pages_classified_by_presence(spark):
+    """A NULL-text page must be classified by PRESENCE, not by hash
+    nullness (md5(NULL) is NULL)."""
+    from rkmh_spark.operators.delta import crawl_delta
+
+    old = spark.createDataFrame(
+        [("http://a.ex/1", None), ("http://a.ex/2", None)],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("http://a.ex/1", None), ("http://a.ex/3", None)],
+        "url string, text string",
+    )
+    got = {
+        r["canonical_url"]: r["status"]
+        for r in crawl_delta(old, new).collect()
+    }
+    assert got == {
+        "http://a.ex/1": "unchanged",   # NULL == NULL content
+        "http://a.ex/2": "removed",
+        "http://a.ex/3": "added",
+    }

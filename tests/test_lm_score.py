@@ -93,12 +93,19 @@ def test_lm_score_hot_tail_split_identical(spark):
 
 def test_lm_score_tail_join_has_no_hot_keys(spark):
     """Plan sanity: the hot path is a BroadcastHashJoin; no cartesian
-    anywhere; the doc aggregate keys on doc_id."""
+    anywhere; the doc aggregate keys on doc_id. materialize=False keeps
+    the whole lineage in one plan — the default eagerly checkpoints the
+    hot-joined table, which would truncate the plan under inspection."""
     from rkmh_spark.operators.lm_score import lm_score
 
     df = spark.createDataFrame(
         [(i, "w x y z") for i in range(10)], "doc_id long, text string"
     )
-    plan = lm_score(df)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        lm_score(df, materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

@@ -52,8 +52,23 @@ def test_phone_spellings(spark):
     )
     assert got[0].p == 2 and got[0].r == "call [PHONE] or [PHONE] today"
     assert got[1].p == 1 and got[1].r == "ring [PHONE] please"
-    assert got[2].p == 0 and got[2].r == got[2].r  # untouched digits
-    assert "[PHONE]" not in got[2].r
+    assert got[2].p == 0 and "[PHONE]" not in got[2].r  # untouched digits
+
+
+def test_phone_digit_boundaries(spark):
+    """Digit-bounded: the 555 alternative must not fire inside longer
+    digit runs (years, counts, prices)."""
+    got = _run(
+        spark,
+        [
+            "In 1555 1234 men marched",
+            "id 555 123456 is a serial",
+            "call 555 0199 ok",
+        ],
+    )
+    assert got[0].p == 0 and "[PHONE]" not in got[0].r
+    assert got[1].p == 0 and "[PHONE]" not in got[1].r
+    assert got[2].p == 1 and got[2].r == "call [PHONE] ok"
 
 
 def test_ipv4_octet_ranges(spark):
@@ -66,12 +81,15 @@ def test_ipv4_octet_ranges(spark):
         ],
     )
     assert got[0].i == 2 and got[0].r == "hosts [IP] and [IP] up"
-    # 256.x fails the octet check as a quad START, but 56.1.1.1 inside it
-    # is a valid dotted quad — leading-digit truncation is accepted (the
-    # redaction is conservative: over-redacting a malformed quad is fine);
-    # 1.2.3 (two dots) never matches
-    assert got[1].i == 1 and got[1].r == "not an ip: 2[IP] nor 1.2.3"
-    assert got[2].i == 1 and got[2].r == "weird 9[IP].4 tail"
+    # digit/dot boundaries: a malformed quad (256.x) or a 5-part
+    # version string must NOT partially match — no truncated redaction
+    assert got[1].i == 0 and got[1].r == "not an ip: 256.1.1.1 nor 1.2.3"
+    assert got[2].i == 0 and got[2].r == "weird 999.1.2.3.4 tail"
+
+
+def test_ipv4_version_string_untouched(spark):
+    got = _run(spark, ["build 1.2.3.4.5 and lib 1234.5.6.7 ship"])
+    assert got[0].i == 0 and "[IP]" not in got[0].r
 
 
 def test_redaction_order_email_before_ip_and_phone(spark):

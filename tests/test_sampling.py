@@ -17,8 +17,9 @@ def _mkdf(spark, n=2000):
     )
 
 
-def _u(key) -> float:
-    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+def _u(key, salt="sample") -> float:
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8]
+    return int(h, 16) / 2**32
 
 
 def test_stratified_sample_matches_reference_decision(spark):
@@ -66,7 +67,7 @@ def test_weighted_mixture_replication_and_copy_index(spark):
     for i in range(1000):
         wv = w[langs[i % 4]]
         base, frac = int(wv), wv - int(wv)
-        expect = base + (1 if frac > 0 and _u(i) < frac else 0)
+        expect = base + (1 if frac > 0 and _u(i, "mix") < frac else 0)
         assert got.get(i, 0) == expect, i
     # copy index is 0..n-1 per doc
     for r in rows:
@@ -75,6 +76,25 @@ def test_weighted_mixture_replication_and_copy_index(spark):
     assert all(v == 1 for v in copies.values())
     # expectation sanity: en doubled, zh gone
     assert got[0] == 2 and got.get(3, 0) == 0
+
+
+def test_sample_then_mix_decisions_are_decorrelated(spark):
+    """Different default salts: a 0.5-sample followed by a w=1.5 mix
+    must NOT give every survivor the extra copy (unsalted, it would —
+    both decisions would test the same u < 0x80000000)."""
+    from rkmh_spark.operators.sampling import (
+        stratified_sample,
+        weighted_mixture,
+    )
+
+    df = _mkdf(spark, 2000).where("lang = 'en'")  # 500 rows
+    kept = stratified_sample(df, {"en": 0.5})
+    mixed = weighted_mixture(kept, {"en": 1.5})
+    n_kept = kept.count()
+    n_mixed = mixed.count()
+    # realized mixture weight should be ~1.5, nowhere near 2.0
+    ratio = n_mixed / n_kept
+    assert 1.3 < ratio < 1.7, (n_kept, n_mixed)
 
 
 def test_sampling_plan_is_shuffle_free(spark):

@@ -127,6 +127,69 @@ def test_read_all_prefers_compacted_in_crash_window(spark, tmp_path):
     assert _read_all(spark, asg_d).count() == 3  # no conflicting dup rows
 
 
+def test_read_all_newest_batch_beats_compacted_for_recurring_url(
+    spark, tmp_path
+):
+    """Review r5: a url RE-ASSIGNED by a batch appended after compaction
+    must surface with the new cluster id — the plain compacted-preference
+    read returned the stale pre-compaction id forever. The versioned read
+    (latest_per + the _compacted_through-<W> marker) ranks compacted at W,
+    later batches above it, and drops crash-window stale batches <= W."""
+    from rkmh_spark.streaming.stream_classify import _write_batch
+
+    asg_d = str(tmp_path / "a")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "url string, cluster_id string"
+    )
+    # crash-window stale batch (covered by the compaction, delete failed)
+    _write_batch(mk([("p://a1", "STALE"), ("p://b1", "p://b1")]), asg_d, 0)
+    _write_batch(
+        mk([("p://a1", "p://a1"), ("p://b1", "p://a1")]), asg_d, "compacted"
+    )
+    (tmp_path / "a" / "_compacted_through-0").touch()
+    # post-compaction batch RE-assigns a1 and adds a new url
+    _write_batch(mk([("p://a1", "NEW"), ("p://c1", "p://c1")]), asg_d, 7)
+
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in _read_all(spark, asg_d, latest_per="url").collect()
+    }
+    assert got == {
+        "p://a1": "NEW",        # batch 7 > watermark 0 → beats compacted
+        "p://b1": "p://a1",     # only compacted knows b1
+        "p://c1": "p://c1",     # post-compaction addition
+    }
+
+    # no marker (legacy / crashed before the marker write): compacted is
+    # authoritative per url — stale-but-consistent degradation
+    (tmp_path / "a" / "_compacted_through-0").unlink()
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in _read_all(spark, asg_d, latest_per="url").collect()
+    }
+    assert got["p://a1"] == "p://a1" and got["p://b1"] == "p://a1"
+
+
+def test_read_all_latest_per_without_compaction(spark, tmp_path):
+    """Pre-first-compaction state: every batch dir is numeric, so
+    partition inference types `batch` as int — the versioned read must
+    still work (ANSI would reject comparing an int column to the string
+    'compacted' without the explicit cast) and newest batch wins."""
+    from rkmh_spark.streaming.stream_classify import _write_batch
+
+    asg_d = str(tmp_path / "a")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "url string, cluster_id string"
+    )
+    _write_batch(mk([("p://a1", "OLD"), ("p://b1", "p://b1")]), asg_d, 0)
+    _write_batch(mk([("p://a1", "NEW")]), asg_d, 2)
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in _read_all(spark, asg_d, latest_per="url").collect()
+    }
+    assert got == {"p://a1": "NEW", "p://b1": "p://b1"}
+
+
 def test_stream_auto_compaction_converges(spark, tmp_path):
     """VERDICT r4 #6: with compact_every_n_batches set, a multi-batch
     stream converges to the batch-mode assignment without the caller ever
