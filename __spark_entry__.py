@@ -9,6 +9,7 @@ each docstring); every SQL-expressible one has a DuckDB oracle in
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -971,6 +972,67 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span mining (operators/span_dedup.py, Lee et al.
+    2022): maximal word-index spans whose every 20-gram occurs more than
+    once corpus-wide. Gram build is zero-shuffle zip_with; detection is
+    a gram-count groupBy + join back, then one per-doc island window."""
+    from rkmh_spark.operators.span_dedup import duplicated_spans
+
+    return duplicated_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"), min_len=20
+    )
+
+
+def q_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET source scan (sources/wet.py): the documents table serialized
+    once as a Common-Crawl-style WET file (deterministic fixture,
+    idempotent), then parsed back JVM-side (lineSep record split, zero
+    Python). Output ts is ISO-formatted text so both engines hash the
+    same bytes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rkmh_spark.sources.wet import wet_pages
+
+    fixture_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scratch",
+        f"wet_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    path = os.path.join(fixture_dir, "part-000.wet")
+    if not os.path.exists(path):
+        from rkmh_spark.sources.wet import wet_bytes
+
+        os.makedirs(fixture_dir, exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        base = _dt.datetime(2026, 1, 1)
+        recs = [
+            (
+                f"https://ex.com/p/{d}",
+                (base + _dt.timedelta(seconds=int(d))).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"
+                ),
+                tx,
+            )
+            for d, tx in zip(
+                t["doc_id"].to_pylist(), t["text"].to_pylist()
+            )
+        ]
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(wet_bytes(recs))
+        os.replace(tmp, path)
+    return wet_pages(spark, path).select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        "text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -1029,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_scores": q_tfidf_scores,
         "crawl_delta": q_crawl_delta,
         "corpus_profile": q_corpus_profile,
+        "dup_spans": q_dup_spans,
+        "wet_scan": q_wet_scan,
     }
 
 
@@ -1852,5 +1916,52 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
                    round(avg(n_chars), 4) AS mean_chars
             FROM documents GROUP BY lang
+        """,
+        # dup_spans: same tokenizer (split on single space, drop empties),
+    # 20-grams via list slicing, corpus-wide occurrence count, then the
+    # standard gaps-and-islands merge — mirrors span_dedup.py stage for
+    # stage
+        "dup_spans": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS words
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+                SELECT doc_id, unnest([{'pos': i - 1,
+                        'gram': array_to_string(words[i:i+19], ' ')}
+                       for i in range(1, greatest(len(words) - 18, 1))]) AS u
+                FROM w) t
+        ),
+        d AS (
+            SELECT doc_id, pos FROM g
+            WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) <= 20
+                        THEN 0 ELSE 1 END AS brk
+            FROM d
+        ),
+        gi AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM isl
+        )
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end,
+               count(*) AS n_dup_grams
+        FROM gi GROUP BY doc_id, island
+    """,
+            # wet_scan: the fixture is built from documents by construction —
+        # the oracle replays the construction, never the WARC parse
+        "wet_scan": """
+            SELECT 'https://ex.com/p/' || CAST(doc_id AS STRING) AS url,
+                   strftime(TIMESTAMP '2026-01-01 00:00:00'
+                            + doc_id * INTERVAL 1 SECOND,
+                            '%Y-%m-%dT%H:%M:%SZ') AS ts,
+                   text
+            FROM documents
         """,
     }

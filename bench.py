@@ -68,6 +68,8 @@ def main() -> None:
         "variant_calls",          # r2: rkmh-call graft (P6/A9/F7)
         "min_occ_signatures",     # r2: F4 relational filtered sketch
         "quality_filter",         # r4: Gopher composite keep/drop
+        "lm_score",               # r5: unigram-LM cross-entropy
+        "dup_spans",              # r5: exact duplicated-span mining
     ]
 
     # JVM+python-worker warm-up on the tiny sf so per-query times measure

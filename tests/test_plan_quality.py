@@ -45,6 +45,9 @@ SCALE_PATH_QUERIES = [
     "weighted_mixture",    # r5: map-only posexplode
     "decontaminate",       # r5: broadcast bench join + doc-id agg
     "tfidf_scores",        # r5: max_df-bounded token join
+    "crawl_delta",         # r5: one full-outer hash join on the key
+    "corpus_profile",      # r5: one hash-agg on lang
+    "dup_spans",           # r5: count window + island window, no join
 ]
 
 
