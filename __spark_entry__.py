@@ -1033,6 +1033,32 @@ def q_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain link graph (operators/linkgraph.py): html constructed per
+    doc with one absolute link (host cycle doc_id%7), one relative link
+    (resolves to the source host, cycle doc_id%5), and an extra
+    single-quoted absolute link on doc_id%3==0. One map-only extraction
+    + one groupBy on the host pair; the oracle replays the edge
+    construction."""
+    from rkmh_spark.operators.linkgraph import domain_link_graph
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        "'https://s' || CAST(doc_id % 5 AS STRING) || '.example.org/p/'"
+        " || CAST(doc_id AS STRING) AS url",
+        """concat(
+             '<a href="https://h', CAST(doc_id % 7 AS STRING),
+             '.example.com/x">a</a><a href="/rel">b</a>',
+             CASE WHEN doc_id % 3 = 0 THEN
+               concat('<a href=', chr(39), 'https://h',
+                      CAST((doc_id + 1) % 7 AS STRING),
+                      '.example.com/y', chr(39), '>c</a>')
+             ELSE '' END
+           ) AS html""",
+    )
+    return domain_link_graph(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -1093,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "dup_spans": q_dup_spans,
         "wet_scan": q_wet_scan,
+        "link_graph": q_link_graph,
     }
 
 
@@ -1963,5 +1990,22 @@ def oracle_sql() -> dict[str, str]:
                             '%Y-%m-%dT%H:%M:%SZ') AS ts,
                    text
             FROM documents
+        """,
+            "link_graph": """
+            WITH e AS (
+                SELECT 's' || CAST(doc_id % 5 AS STRING) || '.example.org' AS src_host,
+                       'h' || CAST(doc_id % 7 AS STRING) || '.example.com' AS dst_host
+                FROM documents
+                UNION ALL
+                SELECT 's' || CAST(doc_id % 5 AS STRING) || '.example.org',
+                       's' || CAST(doc_id % 5 AS STRING) || '.example.org'
+                FROM documents
+                UNION ALL
+                SELECT 's' || CAST(doc_id % 5 AS STRING) || '.example.org',
+                       'h' || CAST((doc_id + 1) % 7 AS STRING) || '.example.com'
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM e GROUP BY src_host, dst_host
         """,
     }

@@ -60,3 +60,20 @@ def extract_text(
     one projection; at 10^12 pages this is a map-only stage that fuses
     into whatever scan feeds it."""
     return pages.withColumn(out_col, html_to_text(html_col))
+
+
+def extract_links(col: Column | str) -> Column:
+    """Array of <a href> targets, document order within each quote
+    style (double-quoted matches first, then single-quoted — one
+    regexp_extract_all per style because a capture-group index cannot
+    span an alternation). Unquoted href values are not extracted
+    (vanishingly rare in real crawls and ambiguous to delimit).
+    Pure JVM, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    dq = F.regexp_extract_all(
+        c, F.lit(r'(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"'), F.lit(1)
+    )
+    sq = F.regexp_extract_all(
+        c, F.lit(r"(?is)<a\s[^>]*?href\s*=\s*'([^']*)'"), F.lit(1)
+    )
+    return F.concat(dq, sq)

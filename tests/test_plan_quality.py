@@ -47,7 +47,8 @@ SCALE_PATH_QUERIES = [
     "tfidf_scores",        # r5: max_df-bounded token join
     "crawl_delta",         # r5: one full-outer hash join on the key
     "corpus_profile",      # r5: one hash-agg on lang
-    "dup_spans",           # r5: count window + island window, no join
+    "dup_spans",           # r5: gram-count groupBy + join back + island window
+    "link_graph",          # r5: map-only extraction + one host-pair groupBy
 ]
 
 
