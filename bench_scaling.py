@@ -193,7 +193,13 @@ def main() -> None:
     cal = calibrate()
     _ensure_corpus()
 
-    levels = [2, 8, 32]
+    # SCALING_LEVELS="2,8" re-rolls just the gate levels — extra
+    # fresh-JVM samples for the best-of protocol without paying the
+    # (host-capped, non-gate) 32-core level each time
+    levels = [
+        int(x)
+        for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")
+    ]
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(REPEATS):  # interleaved repeats vs noisy neighbors
         for c in levels:
