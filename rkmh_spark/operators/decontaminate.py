@@ -230,9 +230,15 @@ def flag_contaminated_bloom(
         per_doc[lens == 0] = 0
         return pd.Series(per_doc.astype(np.int32))
 
-    gram_hashes = F.transform(
-        F.array_distinct(word_ngrams(tokens(text_col), n)),
-        lambda g: F.xxhash64(g),
+    # NULL text must report 0/0/false like the exact path (whose explode
+    # simply emits no rows) — without the coalesce, _gh is NULL and the
+    # pandas_udf's len() would fail the whole task.
+    gram_hashes = F.coalesce(
+        F.transform(
+            F.array_distinct(word_ngrams(tokens(text_col), n)),
+            lambda g: F.xxhash64(g),
+        ),
+        F.array().cast("array<bigint>"),
     )
     return docs.select(
         id_col, gram_hashes.alias("_gh")

@@ -142,6 +142,7 @@ def test_flag_contaminated_bloom_matches_exact(spark):
             (3, words("a", 10) + " " + words("b", 10)),  # partial overlap
             (4, ""),                                  # degenerate
             (5, words("c", 5)),                       # shorter than n
+            (6, None),                                # NULL text
         ],
         "doc_id long, text string",
     )
@@ -158,6 +159,7 @@ def test_flag_contaminated_bloom_matches_exact(spark):
     assert by_id[1][3] is False
     assert by_id[4][1:] == (0, 0, False)
     assert by_id[5][1:] == (0, 0, False)
+    assert by_id[6][1:] == (0, 0, False)   # NULL text: 0/0, no task crash
 
 
 def test_flag_contaminated_bloom_plan_is_shuffle_free(spark):
