@@ -979,8 +979,15 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a gram-count groupBy + join back, then one per-doc island window."""
     from rkmh_spark.operators.span_dedup import duplicated_spans
 
+    # posexplode positions are int32; the DuckDB oracle's generate_subscripts
+    # arithmetic is BIGINT — cast so the compared schemas agree exactly.
     return duplicated_spans(
         _docs(spark, sf_dir).select("doc_id", "text"), min_len=20
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_dup_grams",
     )
 
 
@@ -1896,7 +1903,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY t.doc_id
             )
             SELECT d.doc_id,
-                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
                    round(s.bpt, 4) AS bits_per_token
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
