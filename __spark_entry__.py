@@ -594,6 +594,15 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decisions (min-id representative per ε-ball,
+    Abbas et al. 2023) on the planted table: the 25 planted copies drop
+    with dup_of = their origin vector; everything else keeps."""
+    from rkmh_spark.operators.semantic_dedup import semantic_dedup
+
+    return semantic_dedup(_planted_embeddings(spark, sf_dir), threshold=0.95)
+
+
 def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via multi-table hyperplane LSH on the planted
     table. Deterministic full capture (8 planes × 4 tables, seeded) →
@@ -725,6 +734,54 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return gopher_quality_filter(
         _docs(spark, sf_dir).select("doc_id", "text"), min_words=10
+    )
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page cleaning (Raffel et al. 2020 §2.2) over a multi-line
+    corpus synthesized deterministically from documents (the fixture
+    texts carry no newlines/punctuation, so raw C4 rules would be
+    vacuous on them): 7 lines per page — a real-text head line, a
+    too-short line, an unterminated line, and four doc_id-modulus lines
+    that plant the javascript / lorem-ipsum / curly-brace / bad-word
+    triggers on disjoint residue classes. The DuckDB oracle builds the
+    SAME pages and mirrors every rule. Counts cast to long (Spark size()
+    is int32; DuckDB len() is BIGINT — driver compare is dtype-exact)."""
+    from rkmh_spark.functions.c4 import c4_filter
+
+    w = F.split(F.col("text"), " ")
+    m = lambda k: F.col("doc_id") % k == 0  # noqa: E731
+    synth = F.concat_ws(
+        "\n",
+        F.concat(F.array_join(F.slice(w, 1, 5), " "), F.lit(".")),
+        F.lit("too short."),
+        F.array_join(F.slice(w, 6, 4), " "),
+        F.when(m(7), F.lit("menus need javascript to render.")).otherwise(
+            F.lit("a perfectly clean sentence.")
+        ),
+        F.when(m(11), F.lit("Lorem ipsum dolor sit amet.")).otherwise(
+            F.lit("another clean sentence right here!")
+        ),
+        F.when(m(13), F.lit("function() { return 1; }")).otherwise(
+            F.lit("final clean line ends now?")
+        ),
+        F.when(m(17), F.lit("this verboten token appears here.")).otherwise(
+            F.lit("nothing bad to see here.")
+        ),
+    )
+    pages = _docs(spark, sf_dir).select("doc_id", synth.alias("text"))
+    out = c4_filter(pages, min_sentences=5, bad_words=("verboten",))
+    return out.select(
+        "doc_id",
+        "kept_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "fail_sentences",
+        "fail_lorem",
+        "fail_brace",
+        "fail_badwords",
+        "keep",
     )
 
 
@@ -1066,6 +1123,37 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_link_graph(pages)
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target host
+    (operators/linkgraph.py::anchor_text_agg): same link construction as
+    q_link_graph plus anchor markup that exercises tag-strip
+    (<b>…</b>), entity decode (&nbsp;, &amp;), whitespace collapse, and
+    the empty-anchor drop (an image-only link on doc_id%4==0). The
+    oracle replays the edge construction with the already-clean
+    anchors."""
+    from rkmh_spark.operators.linkgraph import anchor_text_agg
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        "'https://s' || CAST(doc_id % 5 AS STRING) || '.example.org/p/'"
+        " || CAST(doc_id AS STRING) AS url",
+        """concat(
+             '<a href="https://h', CAST(doc_id % 7 AS STRING),
+             '.example.com/x">Read <b>more</b>&nbsp;now</a>',
+             '<a href="/rel">Home&amp;Garden page</a>',
+             CASE WHEN doc_id % 3 = 0 THEN
+               concat('<a href=', chr(39), 'https://h',
+                      CAST((doc_id + 1) % 7 AS STRING),
+                      '.example.com/y', chr(39), '> NEXT  Item </a>')
+             ELSE '' END,
+             CASE WHEN doc_id % 4 = 0 THEN
+               '<a href="/img"><img src="x.png"/></a>'
+             ELSE '' END
+           ) AS html""",
+    )
+    return anchor_text_agg(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -1100,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "search_hits": q_search_hits,
         "sketch_json": q_sketch_json,
         "dedup_assignments": q_dedup_assignments,
@@ -1112,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "repetition_scores": q_repetition_scores,
         "quality_filter": q_quality_filter,
+        "c4_filter": q_c4_filter,
         "canonical_urls": q_canonical_urls,
         "url_dedup": q_url_dedup,
         "html_text": q_html_text,
@@ -1127,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "wet_scan": q_wet_scan,
         "link_graph": q_link_graph,
+        "anchor_texts": q_anchor_texts,
     }
 
 
@@ -1435,6 +1526,19 @@ def oracle_sql() -> dict[str, str]:
         # deterministic full LSH capture (verified: all 25 planted pairs
         # collide in >=1 of the 4 seeded tables) → same oracle as exact
         "embedding_dup_pairs_lsh": _EMB_DUP_SQL,
+        "semantic_dedup": f"""
+            {_EMB_PLANTED_CTE},
+            dup AS (
+                SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE round(list_dot_product(a.v, b.v)
+                            / (sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+                GROUP BY b.vec_id
+            )
+            SELECT e.vec_id, dup.dup_of, dup.dup_of IS NULL AS keep
+            FROM e LEFT JOIN dup USING (vec_id)
+        """,
         "embedding_lsh_topk": f"""
             {_EMB_PLANTED_CTE},
             scored AS (
@@ -1600,6 +1704,72 @@ def oracle_sql() -> dict[str, str]:
                        chr(10) ORDER BY l.pos), '') AS text_dedup
             FROM lines l LEFT JOIN dfc d USING (line)
             GROUP BY l.doc_id
+        """,
+        # C4 cleaning over the SAME construction-derived multi-line pages
+        # the Spark wrapper builds; every rule mirrored in SQL
+        "c4_filter": r"""
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            pages AS (
+                SELECT doc_id, concat_ws(chr(10),
+                    array_to_string(ws[1:5], ' ') || '.',
+                    'too short.',
+                    array_to_string(ws[6:9], ' '),
+                    CASE WHEN doc_id % 7 = 0
+                         THEN 'menus need javascript to render.'
+                         ELSE 'a perfectly clean sentence.' END,
+                    CASE WHEN doc_id % 11 = 0
+                         THEN 'Lorem ipsum dolor sit amet.'
+                         ELSE 'another clean sentence right here!' END,
+                    CASE WHEN doc_id % 13 = 0
+                         THEN 'function() { return 1; }'
+                         ELSE 'final clean line ends now?' END,
+                    CASE WHEN doc_id % 17 = 0
+                         THEN 'this verboten token appears here.'
+                         ELSE 'nothing bad to see here.' END
+                ) AS text FROM w
+            ),
+            kept AS (
+                SELECT doc_id, text,
+                       list_filter(
+                           list_transform(string_split(text, chr(10)),
+                                          l -> trim(l)),
+                           l -> regexp_matches(l, '[.!?"]$')
+                                AND len(list_filter(
+                                        string_split_regex(l, '\s+'),
+                                        t -> t <> '')) >= 3
+                                AND NOT contains(lower(l), 'javascript')
+                       ) AS ks
+                FROM pages
+            ),
+            proj AS (
+                SELECT doc_id, text,
+                       array_to_string(ks, chr(10)) AS kept_text,
+                       CAST(len(string_split(text, chr(10))) AS BIGINT)
+                           AS n_lines,
+                       CAST(len(ks) AS BIGINT) AS n_lines_kept,
+                       CAST(length(array_to_string(ks, chr(10)))
+                            - length(regexp_replace(
+                                  array_to_string(ks, chr(10)),
+                                  '[.!?]', '', 'g')) AS BIGINT)
+                           AS n_sentences
+                FROM kept
+            ),
+            flags AS (
+                SELECT doc_id, kept_text, n_lines, n_lines_kept, n_sentences,
+                       n_sentences < 5 AS fail_sentences,
+                       contains(lower(text), 'lorem ipsum') AS fail_lorem,
+                       contains(text, '{') AS fail_brace,
+                       len(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           t -> t = 'verboten')) > 0 AS fail_badwords
+                FROM proj
+            )
+            SELECT *,
+                   NOT (fail_sentences OR fail_lorem OR fail_brace
+                        OR fail_badwords) AS keep
+            FROM flags
         """,
         # Gopher repetition signals — all-integer, pure relational
         "repetition_scores": """
@@ -2014,5 +2184,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_host, dst_host, count(*) AS n_links
             FROM e GROUP BY src_host, dst_host
+        """,
+            # replay of q_anchor_texts' construction with the anchors
+            # already normalized (the image-only anchor cleans to empty
+            # and is dropped, so it never appears here)
+            "anchor_texts": """
+            WITH e AS (
+                SELECT 'h' || CAST(doc_id % 7 AS STRING) || '.example.com'
+                           AS dst_host,
+                       'read more now' AS anchor
+                FROM documents
+                UNION ALL
+                SELECT 's' || CAST(doc_id % 5 AS STRING) || '.example.org',
+                       'home&garden page'
+                FROM documents
+                UNION ALL
+                SELECT 'h' || CAST((doc_id + 1) % 7 AS STRING) || '.example.com',
+                       'next item'
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT dst_host, anchor, count(*) AS n_links
+            FROM e GROUP BY dst_host, anchor
         """,
     }

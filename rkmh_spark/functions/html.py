@@ -77,3 +77,46 @@ def extract_links(col: Column | str) -> Column:
         c, F.lit(r"(?is)<a\s[^>]*?href\s*=\s*'([^']*)'"), F.lit(1)
     )
     return F.concat(dq, sq)
+
+
+def extract_anchors(col: Column | str) -> Column:
+    """Array of (href, anchor) structs — the link target together with
+    its anchor text (raw inner markup of the <a> element, untouched;
+    clean it with ``clean_anchor_text``). Same quote-style handling and
+    ordering contract as ``extract_links``: double-quoted matches first,
+    then single-quoted, document order within each. Alignment holds
+    because BOTH regexp_extract_all calls per style use the SAME
+    pattern — only the capture-group index differs. Non-greedy ``.*?``
+    up to the first ``</a>``; anchors containing a nested ``</a>`` (an
+    HTML error) truncate there. Pure JVM, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = []
+    for dq_pat in (
+        r'(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>',
+        r"(?is)<a\s[^>]*?href\s*=\s*'([^']*)'[^>]*>(.*?)</a\s*>",
+    ):
+        pat = F.lit(dq_pat)
+        out.append(
+            F.arrays_zip(
+                F.regexp_extract_all(c, pat, F.lit(1)).alias("href"),
+                F.regexp_extract_all(c, pat, F.lit(2)).alias("anchor"),
+            )
+        )
+    return F.concat(*out)
+
+
+def clean_anchor_text(col: Column) -> Column:
+    """Anchor markup → comparable text key: strip inner tags to spaces,
+    decode the common entities, collapse whitespace, trim, lowercase.
+    The standard normalization before aggregating anchors per target
+    (anchor text is a first-class relevance/spam signal in web-graph
+    pipelines)."""
+    c = F.regexp_replace(col, r"(?s)<[^>]*>", " ")
+    c = F.regexp_replace(c, r"&nbsp;", " ")
+    c = F.regexp_replace(c, r"&lt;", "<")
+    c = F.regexp_replace(c, r"&gt;", ">")
+    c = F.regexp_replace(c, r"&quot;", "\"")
+    c = F.regexp_replace(c, r"&#0*39;|&apos;", "'")
+    c = F.regexp_replace(c, r"&amp;", "&")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.lower(F.trim(c))

@@ -23,6 +23,20 @@ from rkmh_spark.functions.html import extract_links
 from rkmh_spark.functions.urls import url_host
 
 
+def _resolve_href_host(href, src):
+    """href → target host under the docstring rules of
+    ``domain_link_graph`` (absolute / protocol-relative / fragment /
+    other-scheme / relative); shared by the link graph and the
+    anchor-text aggregation so the two can never disagree on an edge."""
+    return (
+        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), url_host(href))
+        .when(href.startswith("//"), url_host(F.concat(F.lit("https:"), href)))
+        .when(href.startswith("#"), F.lit(None).cast("string"))
+        .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), F.lit(None))
+        .otherwise(src)
+    )
+
+
 def domain_link_graph(
     pages: DataFrame,
     url_col: str = "url",
@@ -40,15 +54,8 @@ def domain_link_graph(
 
     Rows whose source url or resolved target have no host are dropped.
     """
-    href = F.col("href")
     src = F.col("src_host")
-    dst = (
-        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), url_host(href))
-        .when(href.startswith("//"), url_host(F.concat(F.lit("https:"), href)))
-        .when(href.startswith("#"), F.lit(None).cast("string"))
-        .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), F.lit(None))
-        .otherwise(src)
-    )
+    dst = _resolve_href_host(F.col("href"), src)
     return (
         pages.select(
             url_host(url_col).alias("src_host"),
@@ -80,4 +87,45 @@ def host_degrees(graph: DataFrame) -> DataFrame:
             F.coalesce(F.col(c), F.lit(0)).alias(c)
             for c in ("out_hosts", "out_links", "in_hosts", "in_links")
         ],
+    )
+
+
+def anchor_text_agg(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """-> (dst_host, anchor, n_links): how the web DESCRIBES each
+    target host — anchor texts aggregated over every link pointing at
+    it. The classic relevance/spam signal (anchor text was the original
+    web-search ranking feature); in a training pipeline it yields
+    per-domain descriptions and link-farm fingerprints (one anchor
+    repeated across thousands of sources).
+
+    Same href-resolution rules as ``domain_link_graph`` (shared
+    ``_resolve_href_host``); anchors are normalized with
+    ``clean_anchor_text`` and empty anchors (image links, whitespace)
+    are dropped. Shape: map-only extraction → explode → ONE groupBy on
+    (dst_host, anchor) with map-side combine. Hot keys ARE the signal
+    here (a million identical anchors to one host is what the query
+    exists to surface), and partial aggregation bounds the reducer at
+    one row per map task per key, so no salting is needed.
+    """
+    from rkmh_spark.functions.html import clean_anchor_text, extract_anchors
+
+    a = F.col("a")
+    src = F.col("src_host")
+    return (
+        pages.select(
+            url_host(url_col).alias("src_host"),
+            F.explode(extract_anchors(html_col)).alias("a"),
+        )
+        .where(src.isNotNull())
+        .select(
+            _resolve_href_host(a["href"], src).alias("dst_host"),
+            clean_anchor_text(a["anchor"]).alias("anchor"),
+        )
+        .where(F.col("dst_host").isNotNull() & (F.col("anchor") != ""))
+        .groupBy("dst_host", "anchor")
+        .agg(F.count("*").alias("n_links"))
     )

@@ -78,3 +78,54 @@ def test_linkgraph_plan_no_quadratic(spark):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extract_anchors_pairs_and_cleaning(spark):
+    from rkmh_spark.functions.html import clean_anchor_text, extract_anchors
+    from pyspark.sql import functions as F
+
+    html = (
+        '<a href="https://a.com/x">Read <b>more</b>&nbsp;now</a>'
+        "<a href='https://b.com/y'> NEXT  Item </a>"
+        '<a href="/img"><img src="x.png"/></a>'
+        '<a href="/amp">Home&amp;Garden</a>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    rows = (
+        df.select(F.explode(extract_anchors("html")).alias("a"))
+        .select(
+            F.col("a.href").alias("href"),
+            clean_anchor_text(F.col("a.anchor")).alias("anchor"),
+        )
+        .collect()
+    )
+    got = {(r["href"], r["anchor"]) for r in rows}
+    assert got == {
+        ("https://a.com/x", "read more now"),
+        ("https://b.com/y", "next item"),
+        ("/img", ""),  # image-only anchor cleans to empty
+        ("/amp", "home&garden"),
+    }
+
+
+def test_anchor_text_agg_resolution_and_counts(spark):
+    from rkmh_spark.operators.linkgraph import anchor_text_agg
+
+    rows = [
+        ("https://src.org/1", '<a href="https://t.com/a">Buy Now</a>'),
+        ("https://src.org/2", '<a href="https://t.com/b">buy   now</a>'),
+        ("https://src.org/3", '<a href="/local">Local Page</a>'),
+        ("https://src.org/4", '<a href="#frag">Skip</a>'),
+        ("https://src.org/5", '<a href="mailto:x@y.z">Mail</a>'),
+        ("https://src.org/6", '<a href="/img"><img src="i.png"/></a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {
+        (r["dst_host"], r["anchor"]): r["n_links"]
+        for r in anchor_text_agg(df).collect()
+    }
+    # whitespace-normalized anchors collide; fragment/mailto/empty drop
+    assert got == {
+        ("t.com", "buy now"): 2,
+        ("src.org", "local page"): 1,
+    }

@@ -49,6 +49,12 @@ SCALE_PATH_QUERIES = [
     "corpus_profile",      # r5: one hash-agg on lang
     "dup_spans",           # r5: gram-count groupBy + join back + island window
     "link_graph",          # r5: map-only extraction + one host-pair groupBy
+    "anchor_texts",        # r5: map-only extraction + one (host,anchor) groupBy
+    "c4_filter",           # r5: pure projection
+    # semantic_dedup's queries() entry deliberately runs the exact O(n²)
+    # pair generator (the oracle baseline, same exemption as
+    # embedding_dup_pairs); its scale path takes LSH pairs and is gated
+    # by test_semantic_dedup.py::test_lsh_pairs_path_identical_to_exact
 ]
 
 
