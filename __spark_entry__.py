@@ -428,6 +428,17 @@ def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-blocked candidates verified by exact
+    bit_count(xor) Hamming ≤ 3 — completes the SimHash block-then-verify
+    path. Oracle: brute-force ALL-pairs Hamming over the independent
+    pure-Python XXH64 simhashes, which checks both the banding's
+    pigeonhole recall guarantee and the verify filter."""
+    from rkmh_spark.operators.dedup_exact import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(spark, sf_dir))
+
+
 def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ near-dup copies (+0.02 per component, id+100000) of
     vec_id < 25 — deterministic in both engines; raw pairwise cosine tops
@@ -1197,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": q_cluster_representatives,
         "containment_sketch": q_containment_sketch,
         "simhash_bands": q_simhash_bands,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         "two_tier_classify": q_two_tier_classify,
         "line_dedup": q_line_dedup,
         "repetition_scores": q_repetition_scores,
@@ -1664,6 +1676,7 @@ def oracle_sql() -> dict[str, str]:
         "variant_vcf": _variant_sql(k=6, w=10, tail="vcf"),
         "simhash_signatures": _lit.simhash_signatures_sql(),
         "simhash_bands": _lit.simhash_bands_sql(),
+        "simhash_dup_pairs": _lit.simhash_dup_pairs_sql(max_hamming=3),
         # NumPy-reference-loop literal oracles (rkmh_spark/oracle_literals
         # docstring explains the derivation + independence caveat):
         "dedup_assignments": _lit.dedup_assignments_sql(),

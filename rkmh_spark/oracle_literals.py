@@ -304,6 +304,28 @@ def simhash_bands_sql() -> str:
     )
 
 
+def simhash_dup_pairs_sql(max_hamming: int = 3) -> str:
+    """Brute-force ALL-pairs Hamming filter over the independently-derived
+    simhashes — deliberately stronger than a band replay: it verifies the
+    banding's pigeonhole recall guarantee (every ≤3-bit pair collides on
+    ≥1 of the 4 disjoint 16-bit bands) AND the bit_count(xor) verify
+    filter, with no shared structure with the Spark plan."""
+    sims = list(_simhashes())
+    rows = []
+    for i in range(len(sims)):
+        da, sa = sims[i]
+        for j in range(i + 1, len(sims)):
+            db, sb = sims[j]
+            h = bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= max_hamming:
+                a, b = (da, db) if da < db else (db, da)
+                rows.append((a, b, h))
+    return _values_sql(
+        sorted(rows),
+        [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("hamming", "INTEGER")],
+    )
+
+
 def two_tier_classify_sql(cfg: DedupConfig = TEST_CONFIG) -> str:
     """Replay of operators/two_tier.two_tier_classify on the deterministic
     panel/query split (panel: doc_id%5==0; queries: doc_id%10==1):

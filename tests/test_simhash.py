@@ -92,3 +92,70 @@ def test_hot_bucket_salting_exact_pair_set(spark):
     )
     expected = sorted((a, b) for a in range(30) for b in range(a + 1, 30))
     assert got == expected
+
+
+# ---- verified dup pairs (block → bit_count(xor) verify) ----------------
+
+DUP_DOCS = DOCS + [
+    # one-token edits of doc 2 — likely (not guaranteed) within hamming 3;
+    # the brute-force oracle below decides, the test only requires parity
+    (6, "spark shuffle partition cluster signal vector tokens"),
+    (7, "spark shuffle partition cluster signal vector token extra"),
+]
+
+
+def _brute_pairs(max_hamming):
+    sims = {}
+    for doc_id, text in DUP_DOCS:
+        sims[doc_id] = simhash64([t for t in text.split(" ") if t != ""])
+    ids = sorted(sims)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sims[a] ^ sims[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= max_hamming:
+                out[(a, b)] = h
+    return out
+
+
+def test_dup_pairs_match_bruteforce_hamming(spark):
+    from rkmh_spark.operators.dedup_exact import simhash_dup_pairs
+
+    df = spark.createDataFrame(DUP_DOCS, "doc_id long, text string")
+    for materialize in (True, False):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_dup_pairs(df, materialize=materialize).collect()
+        }
+        assert got == _brute_pairs(3), f"materialize={materialize}"
+    # non-vacuity: the exact dup (0,4) must be present at hamming 0
+    assert _brute_pairs(3)[(0, 4)] == 0
+
+
+def test_dup_pairs_rejects_hamming_above_band_guarantee(spark):
+    from rkmh_spark.operators.dedup_exact import simhash_dup_pairs
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    try:
+        simhash_dup_pairs(df, max_hamming=4)
+    except ValueError as e:
+        assert "recall" in str(e)
+    else:
+        raise AssertionError("max_hamming=4 must be rejected")
+
+
+def test_dup_pairs_lazy_plan_has_no_quadratic_join(spark):
+    # the materialize=True execution path ends in a localCheckpoint scan,
+    # so the global plan gate (test_plan_quality) would be vacuous on it;
+    # gate the un-truncated lazy plan here instead
+    from rkmh_spark.operators.dedup_exact import simhash_dup_pairs
+
+    df = spark.createDataFrame(DUP_DOCS, "doc_id long, text string")
+    plan = (
+        simhash_dup_pairs(df, materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
