@@ -1059,6 +1059,20 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_spans' consumer: text with every duplicated span's words
+    removed (Lee et al. 2022 removal step). Docs with no spans keep
+    their original text verbatim; docs with spans are re-joined from the
+    surviving words with single spaces. Oracle: the dup_spans SQL CTE
+    extended with a positional word table, a NOT EXISTS span anti-join,
+    and an ordered string_agg."""
+    from rkmh_spark.operators.span_dedup import duplicated_spans, strip_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    spans = duplicated_spans(docs, min_len=20)
+    return strip_spans(docs, spans).select("doc_id", "text_stripped")
+
+
 def q_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET source scan (sources/wet.py): the documents table serialized
     once as a Common-Crawl-style WET file (deterministic fixture,
@@ -1227,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "corpus_profile": q_corpus_profile,
         "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
         "wet_scan": q_wet_scan,
         "link_graph": q_link_graph,
         "anchor_texts": q_anchor_texts,
@@ -2170,6 +2185,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end,
                count(*) AS n_dup_grams
         FROM gi GROUP BY doc_id, island
+    """,
+        # strip_spans: the dup_spans CTE chain + a positional word table,
+        # a NOT EXISTS anti-join against the spans, and an ordered
+        # string_agg. Docs with no spans keep their ORIGINAL text verbatim
+        # (the Spark side's _spans-isNull branch); docs whose every word is
+        # inside a span collapse to '' (coalesce).
+        "strip_spans": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS words
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+                SELECT doc_id, unnest([{'pos': i - 1,
+                        'gram': array_to_string(words[i:i+19], ' ')}
+                       for i in range(1, greatest(len(words) - 18, 1))]) AS u
+                FROM w) t
+        ),
+        d AS (
+            SELECT doc_id, pos FROM g
+            WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) <= 20
+                        THEN 0 ELSE 1 END AS brk
+            FROM d
+        ),
+        gi AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end
+            FROM gi GROUP BY doc_id, island
+        ),
+        wpos AS (
+            SELECT doc_id, u.i AS i, u.word AS word FROM (
+                SELECT doc_id, unnest([{'i': i - 1, 'word': words[i]}
+                       for i in range(1, len(words) + 1)]) AS u
+                FROM w) t
+        ),
+        kept AS (
+            SELECT p.doc_id, p.i, p.word
+            FROM wpos p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = p.doc_id
+                  AND p.i >= s.span_start AND p.i < s.span_end)
+        ),
+        agg AS (
+            SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS stripped
+            FROM kept GROUP BY doc_id
+        )
+        SELECT doc.doc_id,
+               CASE WHEN doc.doc_id IN (SELECT doc_id FROM spans)
+                    THEN coalesce(a.stripped, '')
+                    ELSE doc.text END AS text_stripped
+        FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
     """,
             # wet_scan: the fixture is built from documents by construction —
         # the oracle replays the construction, never the WARC parse

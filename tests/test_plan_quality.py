@@ -48,6 +48,7 @@ SCALE_PATH_QUERIES = [
     "crawl_delta",         # r5: one full-outer hash join on the key
     "corpus_profile",      # r5: one hash-agg on lang
     "dup_spans",           # r5: gram-count groupBy + join back + island window
+    "strip_spans",         # r5: dup_spans + per-doc span array join, map-side filter
     "link_graph",          # r5: map-only extraction + one host-pair groupBy
     "anchor_texts",        # r5: map-only extraction + one (host,anchor) groupBy
     "c4_filter",           # r5: pure projection
