@@ -410,6 +410,30 @@ def q_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_pages(pages, TEST_CONFIG).assignments
 
 
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup run metrics (north rule: per-run metrics surface): the
+    cluster-size histogram of the flagship assignments —
+    (cluster_size, n_clusters, n_pages). Two bounded groupBys over the
+    assignments table; the oracle wraps the NumPy reference-loop literal
+    assignments in the same double aggregation."""
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.operators.dedup import dedup_pages
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    pages = documents_as_pages(_docs(spark, sf_dir))
+    a = dedup_pages(pages, TEST_CONFIG).assignments
+    sizes = a.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_pages"),
+        )
+    )
+
+
 def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates via 16-bit band collisions.
 
@@ -1217,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hits": q_search_hits,
         "sketch_json": q_sketch_json,
         "dedup_assignments": q_dedup_assignments,
+        "cluster_sizes": q_cluster_sizes,
         "winnow_fingerprints": q_winnow_fingerprints,
         "cluster_rep_sketches": q_cluster_rep_sketches,
         "cluster_representatives": q_cluster_representatives,
@@ -1695,6 +1720,14 @@ def oracle_sql() -> dict[str, str]:
         # NumPy-reference-loop literal oracles (rkmh_spark/oracle_literals
         # docstring explains the derivation + independence caveat):
         "dedup_assignments": _lit.dedup_assignments_sql(),
+        "cluster_sizes": f"""
+        WITH a AS ({_lit.dedup_assignments_sql()}),
+        s AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM a GROUP BY cluster_id)
+        SELECT cluster_size, count(*) AS n_clusters,
+               cluster_size * count(*) AS n_pages
+        FROM s GROUP BY cluster_size
+    """,
         "cluster_representatives": _lit.cluster_representatives_sql(),
         "cluster_rep_sketches": _lit.cluster_rep_sketches_sql(),
         "containment_sketch": _lit.containment_sketch_sql(threshold=0.9),

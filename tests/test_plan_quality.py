@@ -15,6 +15,7 @@ SF = "/root/testdata/sf0.001"
 # large panels is the banded default.
 SCALE_PATH_QUERIES = [
     "dedup_assignments",
+    "cluster_sizes",       # r5: two bounded groupBys over the assignments
     "minhash_signatures",
     "min_occ_signatures",
     "ngram_jaccard_pairs",
