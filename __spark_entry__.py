@@ -410,6 +410,21 @@ def q_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_pages(pages, TEST_CONFIG).assignments
 
 
+def q_exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup's removal step: the documents table with non-minimal
+    doc_id per identical text dropped (md5-groupBy keep-min + left-semi
+    join back) — completes the exact-dedup family's query surface
+    alongside exact_dup_groups. One shuffle on the 16-byte md5 key.
+    Same planted-dup construction as exact_dup_groups (the base table has
+    no exact text dups — r1's vacuity lesson): every planted copy must be
+    dropped, every original kept."""
+    from rkmh_spark.operators.dedup_exact import exact_dedup_keep_first
+
+    return exact_dedup_keep_first(
+        _docs_with_planted_exact_dups(spark, sf_dir)
+    )
+
+
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup run metrics (north rule: per-run metrics surface): the
     cluster-size histogram of the flagship assignments —
@@ -1206,6 +1221,7 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
+        "exact_dedup_keep_first": q_exact_dedup_keep_first,
         "token_docfreq": q_token_docfreq,
         "hot_tokens": q_hot_tokens,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1418,6 +1434,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, count(*) AS n_docs,
                    min(doc_id) AS keep_doc_id
             FROM docs2 GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "exact_dedup_keep_first": """
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+            ),
+            keep AS (
+                SELECT min(doc_id) AS doc_id FROM docs2 GROUP BY md5(text)
+            )
+            SELECT d.doc_id, d.text FROM docs2 d
+            JOIN keep k ON d.doc_id = k.doc_id
         """,
         "token_docfreq": f"""
             SELECT token, count(*) AS df FROM (

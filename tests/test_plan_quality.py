@@ -16,6 +16,7 @@ SF = "/root/testdata/sf0.001"
 SCALE_PATH_QUERIES = [
     "dedup_assignments",
     "cluster_sizes",       # r5: two bounded groupBys over the assignments
+    "exact_dedup_keep_first",  # r5: md5 groupBy keep-min + left-semi join
     "minhash_signatures",
     "min_occ_signatures",
     "ngram_jaccard_pairs",
