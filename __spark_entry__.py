@@ -762,7 +762,10 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rkmh_spark.operators.line_dedup import line_dedup, window_text_lines
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    return line_dedup(window_text_lines(docs), max_line_df=1)
+    # hash_keys=True is the exercised default (r6): df census + join back
+    # shuffle xxhash64(line) — 8 bytes — instead of the line text
+    # (identical output on collision-free data; pytest-pinned)
+    return line_dedup(window_text_lines(docs), max_line_df=1, hash_keys=True)
 
 
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,8 +1091,13 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # posexplode positions are int32; the DuckDB oracle's generate_subscripts
     # arithmetic is BIGINT — cast so the compared schemas agree exactly.
+    # hash_keys=True is the exercised default (r6): the gram census and
+    # join back shuffle 8-byte xxhash64 fold keys instead of raw 20-word
+    # gram strings — identical output on collision-free data (pinned by
+    # test_span_dedup.py::test_hash_keys_path_identical + this oracle).
     return duplicated_spans(
-        _docs(spark, sf_dir).select("doc_id", "text"), min_len=20
+        _docs(spark, sf_dir).select("doc_id", "text"), min_len=20,
+        hash_keys=True,
     ).select(
         "doc_id",
         F.col("span_start").cast("long").alias("span_start"),
@@ -1108,7 +1116,7 @@ def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rkmh_spark.operators.span_dedup import duplicated_spans, strip_spans
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    spans = duplicated_spans(docs, min_len=20)
+    spans = duplicated_spans(docs, min_len=20, hash_keys=True)
     return strip_spans(docs, spans).select("doc_id", "text_stripped")
 
 
