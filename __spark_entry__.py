@@ -92,10 +92,17 @@ def q_hot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 relational spelling: 3-gram Jaccard >= 0.5 doc pairs."""
+    """J1 relational spelling: 3-gram Jaccard >= 0.5 doc pairs.
+
+    hash_keys=True is the exercised default (r6): census/drop/self-join
+    all shuffle 8-byte xxhash64 fold keys, gram strings never built —
+    identical output on collision-free data (this oracle +
+    test_skew_guards.py::test_ngram_hash_keys_identical pin it)."""
     from rkmh_spark.operators.dedup_exact import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, hash_keys=True
+    )
 
 
 def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,10 +654,25 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep/drop decisions (min-id representative per ε-ball,
     Abbas et al. 2023) on the planted table: the 25 planted copies drop
-    with dup_of = their origin vector; everything else keeps."""
-    from rkmh_spark.operators.semantic_dedup import semantic_dedup
+    with dup_of = their origin vector; everything else keeps.
 
-    return semantic_dedup(_planted_embeddings(spark, sf_dir), threshold=0.95)
+    r6: the exercised pair generator is the LSH-bucketed scale path
+    (census/cap/salted multi-table hyperplane banding, the same seeded
+    machinery as embedding_dup_pairs_lsh), NOT the O(n²) exact
+    generator; the oracle SQL is unchanged and still replays the exact
+    pairs. n_tables=6 (vs 4 for the pair query) buys capture margin:
+    verified deterministic-complete vs the exact generator at sf0.001
+    AND sf0.01 (4 tables misses one planted pair at sf0.001);
+    test_semantic_dedup.py::test_lsh_pairs_path_identical_to_exact pins
+    the decision-level equivalence."""
+    from rkmh_spark.operators.semantic_dedup import semantic_dedup
+    from rkmh_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    emb = _planted_embeddings(spark, sf_dir)
+    pairs = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.95, dim=64, n_planes=8, n_tables=6
+    )
+    return semantic_dedup(emb, threshold=0.95, pairs=pairs)
 
 
 def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

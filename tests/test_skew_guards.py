@@ -61,6 +61,31 @@ def test_hot_gram_capped_pairs_survive_on_other_grams(spark):
     assert all(a in (0, 1) and b in (0, 1) for a, b in got)
 
 
+def test_ngram_hash_keys_identical(spark):
+    """hash_keys=True (8-byte xxhash64 fold keys, the benched r6 path)
+    must reproduce the string-keyed spelling exactly on collision-free
+    data — pairs, shared counts and jaccard values."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (2, "totally different words describing other things entirely here now"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, "short"),
+        (5, ""),
+    ]
+    df = _docs(spark, rows)
+    s = sorted(
+        map(tuple, ngram_jaccard_pairs(df, n=3, threshold=0.3).collect())
+    )
+    h = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(df, n=3, threshold=0.3, hash_keys=True).collect(),
+        )
+    )
+    assert s == h and len(s) > 0
+
+
 def _sigs_with_anchor(spark, n_docs: int, anchor: int):
     """signatures whose bottom-16 sketch all contain ``anchor``."""
     rows = []
