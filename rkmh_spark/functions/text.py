@@ -271,7 +271,12 @@ def gopher_quality_filter(
     )
     stats = (
         df.select(F.col(id_col).alias("id"), F.explode(tagged).alias("t"))
-        .select("id", F.col("t.k").alias("k"), F.col("t.g").alias("g"))
+        # r6: count on xxhash64(gram) — the shuffle key is 8 bytes
+        # instead of the gram string (same contract as
+        # repetition_signals' hash_keys; a collision could only merge
+        # two grams WITHIN one document's counts). Only the per-doc max
+        # count leaves the aggregation, so the gram text is never needed.
+        .select("id", F.col("t.k").alias("k"), F.xxhash64("t.g").alias("g"))
         .groupBy("id", "k", "g")
         .agg(F.count("*").alias("c"))
         .groupBy("id")

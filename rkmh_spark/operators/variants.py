@@ -47,7 +47,10 @@ def _rotation_pairs() -> list[tuple[str, str]]:
 
 
 def kmer_depth_table(
-    corpus: DataFrame, k: int, text_col: str = "text"
+    corpus: DataFrame,
+    k: int,
+    text_col: str = "text",
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """→ (kmer, depth): total occurrences of each char k-gram in the corpus.
 
@@ -55,17 +58,24 @@ def kmer_depth_table(
     occurrence (multiplicity, not distinct docs). posexplode over the
     position sequence stays in whole-stage codegen; groupBy gets map-side
     partial aggregation from Catalyst.
+
+    ``keys``: optional (kmer) DataFrame of the only grams whose depth the
+    caller needs (e.g. reference-position or mutant k-mers — small by
+    construction). Broadcast-semi-filtering the exploded stream BEFORE
+    the groupBy (r6, guide-§8 "decide with small rows") drops the
+    overwhelmingly-non-matching corpus grams map-side, so the count
+    shuffle carries only matching rows instead of every distinct corpus
+    gram. Counts for surviving keys are identical.
     """
     t = F.col(text_col)
     grams = F.transform(
         _positions(t, k),
         lambda i: F.substring(t, i, k),
     )
-    return (
-        corpus.select(F.explode(grams).alias("kmer"))
-        .groupBy("kmer")
-        .agg(F.count("*").alias("depth"))
-    )
+    exploded = corpus.select(F.explode(grams).alias("kmer"))
+    if keys is not None:
+        exploded = exploded.join(F.broadcast(keys), "kmer", "left_semi")
+    return exploded.groupBy("kmer").agg(F.count("*").alias("depth"))
 
 
 def _positions(t, k: int):
@@ -184,15 +194,49 @@ def call_variants(
     (ref, pos, orig, alt, kc, md, rd, od) — alt='-' for deletions.
     ``depth``: pass a precomputed kmer_depth_table to share it.
     """
-    if depth is None:
-        # the depth table feeds THREE consumers (position join, SNP-mutant
-        # join, del-mutant join) — materialize once instead of re-running
-        # the full corpus aggregation per consumer
-        depth = kmer_depth_table(corpus, k, text_col=text_col).localCheckpoint(
-            eager=True
-        )
     ref_pos = reference_positions(refs, k, ref_col=ref_col, text_col=text_col)
-    pos_depth = windowed_ref_depth(ref_pos, depth, window_len)
+    # r6 restructure (guide §8 "decide with small rows"): the only depth
+    # values this job ever reads are those of the reference's own k-mers
+    # (position join) and of the permuted mutants of reference positions
+    # (alt lookups) — both key sets are small because the reference panel
+    # is small by construction. The r5 plan materialized the depth of
+    # EVERY distinct corpus k-gram (an O(corpus) shuffle + checkpoint)
+    # and then broadcast that full table into the left joins — at web
+    # scale that blows the 8 GB broadcast cap; locally it built a
+    # multi-million-row hash relation three times. Now ONE key-filtered
+    # count pass (depth=None path; the semi-join filter runs BEFORE the
+    # count shuffle, so only matching gram occurrences shuffle) — or one
+    # semi-join prune of the caller's shared table — yields a small
+    # checkpointed relation that serves all three joins as a broadcast.
+    # Left-join semantics are unchanged: dropped rows could never match,
+    # and misses still coalesce to depth 0.
+    # The needed key set is enumerable UP FRONT from the reference alone:
+    # the reference k-mers themselves plus every SNP/deletion mutant of
+    # EVERY reference position (a superset of what the triggered subset
+    # will probe — extra keys are harmless, the joins match by key). The
+    # dummy depth/avg_d columns only satisfy the candidate generators'
+    # projections; the emitted alt_kmer values don't depend on them.
+    allpos = ref_pos.withColumn("depth", F.lit(0)).withColumn(
+        "avg_d", F.lit(0)
+    )
+    needed = (
+        ref_pos.select("kmer")
+        .unionByName(
+            snp_candidates(allpos, k).select(F.col("alt_kmer").alias("kmer"))
+        )
+        .unionByName(
+            del_candidates(allpos, k).select(F.col("alt_kmer").alias("kmer"))
+        )
+        .distinct()
+    )
+    if depth is None:
+        depth = kmer_depth_table(corpus, k, text_col=text_col, keys=needed)
+    else:
+        depth = depth.join(F.broadcast(needed), "kmer", "left_semi")
+    # ONE small filtered table serves all three consumers (position join
+    # + both mutant joins) — eager checkpoint = one corpus pass total
+    depth = depth.localCheckpoint(eager=True)
+    pos_depth = windowed_ref_depth(ref_pos, F.broadcast(depth), window_len)
     # F7 trigger 1: only low-coverage positions permute (rkmh.cpp:1801).
     # Materialized (localCheckpoint): both the SNP and deletion branches
     # read it — no recompute of the window/depth join, no persist leak.
@@ -200,11 +244,15 @@ def call_variants(
         F.col("depth") < 0.5 * F.col("avg_d")
     ).localCheckpoint(eager=True)
 
+    depth_alt = depth.withColumnsRenamed(
+        {"kmer": "alt_kmer", "depth": "alt_depth"}
+    )
+
     alt_depth = F.coalesce(F.col("alt_depth"), F.lit(0))
     snps = (
         snp_candidates(triggered, k)
         .join(
-            depth.select(F.col("kmer").alias("alt_kmer"), F.col("depth").alias("alt_depth")),
+            F.broadcast(depth_alt),
             "alt_kmer",
             "left",
         )
@@ -227,7 +275,7 @@ def call_variants(
     dels = (
         del_candidates(triggered, k)
         .join(
-            depth.select(F.col("kmer").alias("alt_kmer"), F.col("depth").alias("alt_depth")),
+            F.broadcast(depth_alt),
             "alt_kmer",
             "left",
         )
