@@ -199,7 +199,8 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return brute_force_topk(emb, emb.where(F.col("vec_id") < 20), k=3)
+    # dim=64 → unrolled codegen cosine (bit-identical to the HOF fold)
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 20), k=3, dim=64)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

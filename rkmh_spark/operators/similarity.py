@@ -14,7 +14,17 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def _dot(a, b):
+def _dot(a, b, dim: int | None = None):
+    """Dot product. With ``dim`` known, an UNROLLED codegen expression
+    (lit(0.0) + a[0]*b[0] + a[1]*b[1] + ...) — same left-associated
+    float addition order as the aggregate fold, so results are
+    bit-identical, but it stays inside whole-stage codegen where the
+    higher-order-function spelling runs interpreted per element (r6)."""
+    if dim is not None:
+        s = F.lit(0.0).cast("double")
+        for i in range(dim):
+            s = s + a[i] * b[i]
+        return s
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -22,7 +32,12 @@ def _dot(a, b):
     )
 
 
-def _norm(a):
+def _norm(a, dim: int | None = None):
+    if dim is not None:
+        s = F.lit(0.0).cast("double")
+        for i in range(dim):
+            s = s + a[i] * a[i]
+        return F.sqrt(s)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
     )
@@ -42,11 +57,14 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """For each query vector: exact top-k cosine neighbors (excluding self).
 
     queries is expected small → broadcast; the big side streams through a
     single codegen'd projection (no shuffle until the per-query top-k).
+    ``dim``: when known, the cosine runs as an unrolled codegen
+    expression instead of interpreted HOFs (bit-identical, see _dot).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -59,8 +77,8 @@ def brute_force_topk(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("qvec"), F.col("nvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
+                _dot(F.col("qvec"), F.col("nvec"), dim)
+                / (_norm(F.col("qvec"), dim) * _norm(F.col("nvec"), dim)),
                 6,
             ),
         )
@@ -93,9 +111,15 @@ def hyperplane_buckets(
     bucket = F.lit(0).cast("long")
     vec = F.col(vec_col)
     for i in range(n_planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        # unrolled literal-coefficient dot (r6): same left-associated
+        # addition order as the old aggregate-over-literal-array fold
+        # (bit-identical sign), but whole-stage-codegen'd instead of
+        # interpreted per element
+        s = F.lit(0.0).cast("double")
+        for j in range(dim):
+            s = s + vec[j] * F.lit(float(planes[i][j]))
         bucket = bucket + F.when(
-            _dot(vec, lit_plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            s > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
@@ -196,7 +220,8 @@ def embedding_near_dup_pairs_lsh(
         "id_a",
         "id_b",
         F.round(
-            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            _dot(F.col("va"), F.col("vb"), dim)
+            / (_norm(F.col("va"), dim) * _norm(F.col("vb"), dim)),
             6,
         ).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
@@ -302,8 +327,8 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qvec"), F.col("nvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
+                _dot(F.col("qvec"), F.col("nvec"), dim)
+                / (_norm(F.col("qvec"), dim) * _norm(F.col("nvec"), dim)),
                 6,
             ).alias("cosine"),
         )
@@ -337,6 +362,13 @@ def _nearest_centroids(
             for i, c in enumerate(centroids)
         ]
     )
+    dim = len(centroids[0]) if centroids else 0
+    # unrolled squared-L2 (r6): same left-associated addition order as
+    # the aggregate-over-zip_with fold (bit-identical argmin), codegen'd
+    d2 = F.lit(0.0).cast("double")
+    for j in range(dim):
+        diff = F.col("c.cv")[j] - F.col(vec_col)[j]
+        d2 = d2 + diff * diff
     scored = vectors.select(
         id_col,
         vec_col,
@@ -344,13 +376,7 @@ def _nearest_centroids(
     ).select(
         id_col,
         F.col("c.cid").alias("centroid_id"),
-        F.aggregate(
-            F.zip_with(
-                F.col("c.cv"), F.col(vec_col), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        ).alias("d2"),
+        d2.alias("d2"),
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("centroid_id"))
     return (
@@ -499,8 +525,11 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qvec"), F.col("nvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
+                _dot(F.col("qvec"), F.col("nvec"), X.shape[1])
+                / (
+                    _norm(F.col("qvec"), X.shape[1])
+                    * _norm(F.col("nvec"), X.shape[1])
+                ),
                 6,
             ).alias("cosine"),
         )

@@ -69,10 +69,20 @@ def test_lsh_topk_finds_planted_top1(spark, planted):
 
 
 def test_wrong_dim_hyperplanes_would_collapse_buckets(spark, planted):
-    """Regression guard for the r1 bug: 32-dim planes over 64-dim vectors
-    null the dot product and collapse every bucket key to 0."""
-    bad = hyperplane_buckets(planted, dim=32, n_planes=8, seed=42)
-    assert bad.select("bucket").distinct().count() == 1  # the failure mode
+    """Regression guard for the r1 bug class: mis-declared plane width.
+
+    r6's unrolled literal-coefficient dot changed the failure shape,
+    both directions strictly safer than the r1-r5 silent null-driven
+    collapse: dim SMALLER than the vectors yields a valid (coarser)
+    bucketing over the leading components; dim LARGER raises a loud
+    INVALID_ARRAY_INDEX under ANSI mode instead of silently bucketing
+    everything together."""
+    coarse = hyperplane_buckets(planted, dim=32, n_planes=8, seed=42)
+    assert coarse.select("bucket").distinct().count() > 1  # no collapse
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        hyperplane_buckets(planted, dim=128, n_planes=8, seed=42).select(
+            "bucket"
+        ).distinct().count()
     good = hyperplane_buckets(planted, dim=64, n_planes=8, seed=42)
     assert good.select("bucket").distinct().count() > 1
 
