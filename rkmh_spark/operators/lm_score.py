@@ -59,6 +59,12 @@ def lm_score(
 
     ref_toks = ref.select(F.explode(tokens(text_col)).alias("tok"))
     vocab = ref_toks.groupBy("tok").agg(F.count("*").alias("c"))
+    if materialize:
+        # vocab feeds THREE consumers (totals row, hot broadcast, tail
+        # join) — without materialization the reference tokenize+count
+        # lineage evaluates once per consumer (r6; measured 3 corpus
+        # passes in one query). O(vocab) compact rows.
+        vocab = vocab.localCheckpoint(eager=True)
     # T (total tokens) and V (vocab size) are one tiny aggregate row,
     # cross-joined as a broadcast literal into the scorer
     totals = F.broadcast(
