@@ -180,6 +180,32 @@ def del_candidates(triggered: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _enumerate_mutants(kmer: str, d_alt: str | None, k: int) -> list[str]:
+    """Driver-side mirror of snp_candidates/del_candidates' alt_kmer
+    construction for ONE reference position (pinned equivalent by
+    test_variants.py::test_driver_mutant_enumeration_matches_relational):
+    every in-class SNP swap of the k-mer plus every 1-char deletion of
+    the (k+1)-mer at j-1."""
+    out = []
+    for p, orig in enumerate(kmer):
+        if orig in ROTATION_CLASS:
+            for alt in ROTATION_CLASS:
+                if alt != orig:
+                    out.append(kmer[:p] + alt + kmer[p + 1 :])
+    if d_alt is not None:
+        for p in range(1, k + 1):
+            out.append(d_alt[:p] + d_alt[p + 1 : k + 1])
+    return out
+
+
+#: max reference positions for the driver-side needed-key enumeration;
+#: past this the relational spelling builds the same set distributedly
+#: (the panel is small by construction — same boundedness assumption as
+#: the resident-panel broadcast, rkmh.cpp:867-870 — but guard anyway,
+#: the dedup hot_broadcast_limit pattern)
+_DRIVER_ENUM_LIMIT = 200_000
+
+
 def call_variants(
     refs: DataFrame,
     corpus: DataFrame,
@@ -213,22 +239,41 @@ def call_variants(
     # The needed key set is enumerable UP FRONT from the reference alone:
     # the reference k-mers themselves plus every SNP/deletion mutant of
     # EVERY reference position (a superset of what the triggered subset
-    # will probe — extra keys are harmless, the joins match by key). The
-    # dummy depth/avg_d columns only satisfy the candidate generators'
-    # projections; the emitted alt_kmer values don't depend on them.
-    allpos = ref_pos.withColumn("depth", F.lit(0)).withColumn(
-        "avg_d", F.lit(0)
+    # will probe — extra keys are harmless, the joins match by key).
+    # Count-guarded driver enumeration (the panel is small by
+    # construction): collecting |positions| rows and permuting in Python
+    # yields a LocalTableScan whose broadcast build is free, where the
+    # relational spelling drags two candidate-generator subtrees plus a
+    # distinct exchange into the semi-join's broadcast plan (measured
+    # ~1 s extra per depth job at sf0.1, plus their one-time codegen).
+    pos_rows = (
+        ref_pos.select("kmer", "d_alt").limit(_DRIVER_ENUM_LIMIT + 1).collect()
     )
-    needed = (
-        ref_pos.select("kmer")
-        .unionByName(
-            snp_candidates(allpos, k).select(F.col("alt_kmer").alias("kmer"))
+    if len(pos_rows) <= _DRIVER_ENUM_LIMIT:
+        needed_set: set[str] = set()
+        for row in pos_rows:
+            needed_set.add(row["kmer"])
+            needed_set.update(_enumerate_mutants(row["kmer"], row["d_alt"], k))
+        needed = refs.sparkSession.createDataFrame(
+            [(x,) for x in sorted(needed_set)], "kmer string"
         )
-        .unionByName(
-            del_candidates(allpos, k).select(F.col("alt_kmer").alias("kmer"))
+    else:
+        # relational fallback: same set, built distributedly. The dummy
+        # depth/avg_d columns only satisfy the candidate generators'
+        # projections; the emitted alt_kmer values don't depend on them.
+        allpos = ref_pos.withColumn("depth", F.lit(0)).withColumn(
+            "avg_d", F.lit(0)
         )
-        .distinct()
-    )
+        needed = (
+            ref_pos.select("kmer")
+            .unionByName(
+                snp_candidates(allpos, k).select(F.col("alt_kmer").alias("kmer"))
+            )
+            .unionByName(
+                del_candidates(allpos, k).select(F.col("alt_kmer").alias("kmer"))
+            )
+            .distinct()
+        )
     if depth is None:
         depth = kmer_depth_table(corpus, k, text_col=text_col, keys=needed)
     else:

@@ -93,3 +93,33 @@ def test_vcf_lines_format_and_order(spark):
         assert fields[7].startswith("KC=") and ";MD=" in fields[7]
     hdr = vcf_header("ref0")
     assert hdr[0] == "##fileformat=VCF4.2" and len(hdr) == 7
+
+
+def test_driver_mutant_enumeration_matches_relational(spark):
+    """The r6 driver-side needed-key enumeration must reproduce exactly
+    the alt_kmer set the relational snp/del candidate generators emit
+    over the same positions (superset-by-construction would also be
+    safe; equality is what holds and what this pins)."""
+    from pyspark.sql import functions as F
+
+    from rkmh_spark.operators.variants import (
+        _enumerate_mutants,
+        del_candidates,
+        reference_positions,
+        snp_candidates,
+    )
+
+    refs = _df(spark, [("ref0", "qqqwwtotoqqqwwea"), ("ref1", "aeotaeotq")])
+    ref_pos = reference_positions(refs, K)
+    allpos = ref_pos.withColumn("depth", F.lit(0)).withColumn("avg_d", F.lit(0))
+    relational = {
+        r["alt_kmer"]
+        for r in snp_candidates(allpos, K).select("alt_kmer").collect()
+    } | {
+        r["alt_kmer"]
+        for r in del_candidates(allpos, K).select("alt_kmer").collect()
+    }
+    driver = set()
+    for row in ref_pos.select("kmer", "d_alt").collect():
+        driver.update(_enumerate_mutants(row["kmer"], row["d_alt"], K))
+    assert driver == relational
