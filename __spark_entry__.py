@@ -1250,13 +1250,18 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered NEWEST-FIRST (r6): CORRECTNESS_r05.json carried rows for
+    # Ordered RISK-FIRST (r6): CORRECTNESS_r05.json carried rows for
     # only the first 50 of 66 entries — every r5-new query was absent —
     # so the driver's correctness run appears to truncate in dict order
-    # (VERDICT r5 #5). Queries that have never had a driver row run
-    # first; the long-green r1-r4 set follows. The set itself is
-    # unchanged — 66 entries, same names, same functions.
+    # (VERDICT r5 #5). Block 1: the 16 queries that have never had a
+    # driver row. Block 2: every query whose operators this round's
+    # optimization touched (census respell, hashed keys, packed SimHash,
+    # unrolled cosine, variant depth restructure). Block 3: untouched
+    # queries with five rounds of green driver rows — the safest to fall
+    # past a truncation. The set itself is unchanged — 66 entries, same
+    # names, same functions.
     return {
+        # --- block 1: never driver-checked (r5-new) ---
         "url_dedup": q_url_dedup,
         "html_text": q_html_text,
         "pii_scrub": q_pii_scrub,
@@ -1273,17 +1278,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_scan": q_wet_scan,
         "link_graph": q_link_graph,
         "anchor_texts": q_anchor_texts,
+        # --- block 2: operators changed in r6 ---
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "line_dedup": q_line_dedup,
+        "min_occ_signatures": q_min_occ_signatures,
+        "variant_calls": q_variant_calls,
+        "variant_vcf": q_variant_vcf,
+        "simhash_signatures": q_simhash_signatures,
+        "simhash_bands": q_simhash_bands,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_assignments": q_dedup_assignments,
+        "cluster_sizes": q_cluster_sizes,
+        "cluster_rep_sketches": q_cluster_rep_sketches,
+        "cluster_representatives": q_cluster_representatives,
+        "containment_sketch": q_containment_sketch,
+        "quality_filter": q_quality_filter,
+        # --- block 3: untouched, 5 rounds of green driver rows ---
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep_first": q_exact_dedup_keep_first,
         "token_docfreq": q_token_docfreq,
         "hot_tokens": q_hot_tokens,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_predict": q_lang_predict,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "unique_tokens_per_lang": q_unique_tokens_per_lang,
         "distinct_tokens_per_source": q_distinct_tokens_per_source,
-        "embedding_topk": q_embedding_topk,
         "pricing_summary": q_pricing_summary,
         "brand_revenue": q_brand_revenue,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -1296,31 +1320,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_daily_counts": q_user_daily_counts,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "bpe_token_counts": q_bpe_token_counts,
-        "min_occ_signatures": q_min_occ_signatures,
         "session_stats": q_session_stats,
         "bpe_real_token_counts": q_bpe_real_token_counts,
-        "variant_calls": q_variant_calls,
-        "variant_vcf": q_variant_vcf,
-        "simhash_signatures": q_simhash_signatures,
         "minhash_signatures": q_minhash_signatures,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
-        "semantic_dedup": q_semantic_dedup,
         "search_hits": q_search_hits,
         "sketch_json": q_sketch_json,
-        "dedup_assignments": q_dedup_assignments,
-        "cluster_sizes": q_cluster_sizes,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "cluster_rep_sketches": q_cluster_rep_sketches,
-        "cluster_representatives": q_cluster_representatives,
-        "containment_sketch": q_containment_sketch,
-        "simhash_bands": q_simhash_bands,
-        "simhash_dup_pairs": q_simhash_dup_pairs,
         "two_tier_classify": q_two_tier_classify,
-        "line_dedup": q_line_dedup,
         "repetition_scores": q_repetition_scores,
-        "quality_filter": q_quality_filter,
         "c4_filter": q_c4_filter,
         "canonical_urls": q_canonical_urls,
     }

@@ -85,6 +85,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_gram_df: int = 1000,
     hash_keys: bool = False,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Doc pairs with distinct-token-n-gram Jaccard >= threshold, computed
     over the gram space EXCLUDING grams present in more than
@@ -129,8 +130,13 @@ def ngram_jaccard_pairs(
     )
     # raw is generated twice (census + join side) — map-side-only work;
     # the FILTERED relation keeps the persist because three plan branches
-    # (sizes + both self-join sides) read it, as in r5
+    # (sizes + both self-join sides) read it, as in r5. ``cleanup``:
+    # long-lived callers append-receive the persist handle and unpersist
+    # after their action materializes the result (the candidate_pairs
+    # pattern); one-shot callers may leave it to session teardown.
     grams = raw.join(keep, key).persist()
+    if cleanup is not None:
+        cleanup.append(grams)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     shared = (

@@ -19,7 +19,12 @@ def _dot(a, b, dim: int | None = None):
     (lit(0.0) + a[0]*b[0] + a[1]*b[1] + ...) — same left-associated
     float addition order as the aggregate fold, so results are
     bit-identical, but it stays inside whole-stage codegen where the
-    higher-order-function spelling runs interpreted per element (r6)."""
+    higher-order-function spelling runs interpreted per element (r6).
+
+    CONTRACT: ``dim`` must equal the true vector width. Smaller silently
+    computes a truncated dot product (no error); larger raises
+    INVALID_ARRAY_INDEX under ANSI mode (pinned true in get_spark).
+    Pass dim=None (HOF fold) for ragged/unknown-width columns."""
     if dim is not None:
         s = F.lit(0.0).cast("double")
         for i in range(dim):
@@ -293,9 +298,12 @@ def lsh_topk(
     vectors probe the index); neighbors always come from ``embeddings``.
     ``bucket_cap``: neighbor-shard size for the bipartite skew guard —
     hot buckets are split into ceil(size/cap) shards.
-    ``dim`` must equal the actual vector width — hyperplanes of the wrong
-    width make zip_with emit nulls and silently collapse every bucket key
-    to 0 (all vectors in ONE bucket: found + fixed in r2).
+    ``dim`` must equal the actual vector width (the r1 bug class). Since
+    r6's unrolled dot: dim SMALLER than the vectors silently buckets on
+    the leading components only (coarser but valid); dim LARGER fails
+    loudly with INVALID_ARRAY_INDEX under ANSI mode — no silent
+    all-in-one-bucket collapse in either direction
+    (test_embedding_lsh.py pins both).
     """
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     qe = (

@@ -198,12 +198,15 @@ def _enumerate_mutants(kmer: str, d_alt: str | None, k: int) -> list[str]:
     return out
 
 
-#: max reference positions for the driver-side needed-key enumeration;
-#: past this the relational spelling builds the same set distributedly
-#: (the panel is small by construction — same boundedness assumption as
-#: the resident-panel broadcast, rkmh.cpp:867-870 — but guard anyway,
-#: the dedup hot_broadcast_limit pattern)
-_DRIVER_ENUM_LIMIT = 200_000
+#: max ENUMERATED KEYS the driver-side needed-key path may hold; past
+#: this the relational spelling builds the same set distributedly (the
+#: panel is small by construction — same boundedness assumption as the
+#: resident-panel broadcast, rkmh.cpp:867-870 — but guard anyway, the
+#: dedup hot_broadcast_limit pattern). The position guard is derived
+#: from this via the per-position mutant fanout (3k SNP + k del + 1),
+#: so the bound is on what actually lands on the driver, not on the
+#: row count that generates it (review r6).
+_DRIVER_ENUM_KEY_LIMIT = 2_000_000
 
 
 def call_variants(
@@ -246,10 +249,11 @@ def call_variants(
     # relational spelling drags two candidate-generator subtrees plus a
     # distinct exchange into the semi-join's broadcast plan (measured
     # ~1 s extra per depth job at sf0.1, plus their one-time codegen).
+    pos_limit = _DRIVER_ENUM_KEY_LIMIT // (3 * k + k + 1)
     pos_rows = (
-        ref_pos.select("kmer", "d_alt").limit(_DRIVER_ENUM_LIMIT + 1).collect()
+        ref_pos.select("kmer", "d_alt").limit(pos_limit + 1).collect()
     )
-    if len(pos_rows) <= _DRIVER_ENUM_LIMIT:
+    if len(pos_rows) <= pos_limit:
         needed_set: set[str] = set()
         for row in pos_rows:
             needed_set.add(row["kmer"])
